@@ -1,0 +1,24 @@
+"""Test configuration: run on CPU with 8 virtual devices and float64.
+
+Mirrors SURVEY.md §4: multi-chip logic is tested on a fake CPU mesh
+(xla_force_host_platform_device_count); numerical parity tests use float64 so
+oracles can be checked at the reference's tolerances.
+
+NOTE: this container's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (remote TPU tunnel), so env vars are latched before
+conftest runs — we must go through jax.config.update instead.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
