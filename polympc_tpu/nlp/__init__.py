@@ -1,0 +1,10 @@
+from polympc_tpu.nlp.types import (
+    NLP, NLPBounds, SQPSettings, SQPSolution, unbounded,
+)
+from polympc_tpu.nlp.sqp import sqp_solve
+from polympc_tpu.nlp.hessian import bfgs_update, sr1_update, regularize
+
+__all__ = [
+    "NLP", "NLPBounds", "SQPSettings", "SQPSolution", "unbounded",
+    "sqp_solve", "bfgs_update", "sr1_update", "regularize",
+]

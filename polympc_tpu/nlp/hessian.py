@@ -1,0 +1,65 @@
+"""Quasi-Newton Hessian updates and regularisation, pure JAX.
+
+Replaces bfgs.hpp:23-52 (damped BFGS, Nocedal Procedure 18.2),
+sr1.hpp:22-36 (safeguarded SR1) and the reference's per-test
+hessian-regularisation hooks (sqp_base.hpp:317,
+tests/control/mpc_wrapper_test.cpp:90-118).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["bfgs_update", "sr1_update", "regularize"]
+
+
+def bfgs_update(B, s, y):
+    """Damped BFGS update keeping B positive definite.
+
+    theta damps y toward B s when the curvature condition s'y >= 0.2 s'Bs
+    fails (Nocedal & Wright, Procedure 18.2).  Degenerate steps (s ~ 0)
+    leave B unchanged.
+    """
+    Bs = B @ s
+    sBs = s @ Bs
+    sy = s @ y
+    theta = jnp.where(sy >= 0.2 * sBs, 1.0,
+                      0.8 * sBs / jnp.maximum(sBs - sy, 1e-16))
+    r = theta * y + (1.0 - theta) * Bs
+    sr = s @ r
+    ok = (sBs > 1e-14) & (sr > 1e-14)
+    B_new = B - jnp.outer(Bs, Bs) / jnp.maximum(sBs, 1e-16) \
+        + jnp.outer(r, r) / jnp.maximum(sr, 1e-16)
+    return jnp.where(ok, B_new, B)
+
+
+def sr1_update(B, s, y):
+    """Safeguarded symmetric-rank-1 update (Nocedal & Wright eq. 6.24):
+    skip when |s'(y - Bs)| < 1e-6 ||s|| ||y - Bs||."""
+    d = y - B @ s
+    sd = s @ d
+    ok = jnp.abs(sd) >= 1e-6 * jnp.linalg.norm(s) * jnp.linalg.norm(d) + 1e-16
+    B_new = B + jnp.outer(d, d) / jnp.where(ok, sd, 1.0)
+    return jnp.where(ok, B_new, B)
+
+
+def regularize(H, mode: str, eps: float):
+    """Make H safely positive definite for the QP subproblem.
+
+    "gershgorin": shift by the most negative Gershgorin disc bound.
+    "eigen": mirror negative eigenvalues (|lambda|, floored at eps) — the
+    scheme the reference's tests implement by hand
+    (mpc_wrapper_test.cpp:90-118).
+    """
+    if mode == "none":
+        return H
+    if mode == "gershgorin":
+        d = jnp.diagonal(H)
+        radii = jnp.sum(jnp.abs(H), axis=1) - jnp.abs(d)
+        lower = jnp.min(d - radii)
+        shift = jnp.maximum(0.0, -lower + eps)
+        return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
+    if mode == "eigen":
+        w, V = jnp.linalg.eigh(0.5 * (H + H.T))
+        w = jnp.maximum(jnp.abs(w), eps)
+        return (V * w) @ V.T
+    raise ValueError(f"unknown regularisation mode {mode!r}")

@@ -1,0 +1,204 @@
+"""SQP solver with l1-merit line search, pure JAX.
+
+TPU-native re-design of ``SQPBase`` (sqp_base.hpp:66-699).  Differences from
+the C++ reference, driven by XLA semantics (SURVEY.md §7):
+
+  - the solve is one bounded ``lax.while_loop``; converged lanes freeze, so
+    the whole solver is ``vmap``-able over problem instances (the batch axis
+    that replaces the reference's single-instance warm-start loop);
+  - the l1-merit backtracking line search (sqp_base.hpp:380-419) becomes a
+    *batched fixed-trial* search: all ls_max_iter candidate step lengths are
+    evaluated in one vmapped sweep and the first acceptable one is selected —
+    no data-dependent trip counts, and the merit evaluations become one
+    batched dynamics sweep on the MXU;
+  - derivatives come from jax.grad / jax.jacfwd / jax.hessian instead of
+    nested forward-mode AutoDiffScalar (autodiff/AutoDiffScalar.h);
+  - the inner QP is the box-split ADMM solver, dual-warm-started with the
+    current Lagrange multipliers each iteration (sqp_base.hpp:533-565).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from polympc_tpu.nlp.types import NLP, NLPBounds, SQPSettings, SQPSolution, unbounded
+from polympc_tpu.nlp.hessian import bfgs_update, regularize
+from polympc_tpu.qp.types import QPData
+from polympc_tpu.qp.box_admm import box_admm_solve
+from polympc_tpu.utils import status as st
+
+__all__ = ["sqp_solve"]
+
+
+def _constraints(nlp: NLP, x, p):
+    """Stacked general constraints c(x) = [c_e; c_i], shape (ne+ni,)."""
+    parts = []
+    if nlp.eq is not None:
+        parts.append(jnp.atleast_1d(nlp.eq(x, p)))
+    if nlp.ineq is not None:
+        parts.append(jnp.atleast_1d(nlp.ineq(x, p)))
+    if not parts:
+        return jnp.zeros(0, x.dtype)
+    return jnp.concatenate(parts)
+
+
+def _row_bounds(nlp: NLP, bounds: NLPBounds, dtype):
+    cl = jnp.concatenate([jnp.zeros(nlp.ne, dtype), bounds.gl.astype(dtype)])
+    cu = jnp.concatenate([jnp.zeros(nlp.ne, dtype), bounds.gu.astype(dtype)])
+    return cl, cu
+
+
+def _violation_l1(c, cl, cu, x, lbx, ubx):
+    """l1 constraint violation for the merit function
+    (ref: sqp_base.hpp:423-474)."""
+    vc = jnp.sum(jnp.maximum(c - cu, 0.0) + jnp.maximum(cl - c, 0.0)) \
+        if c.size else 0.0
+    vx = jnp.sum(jnp.maximum(x - ubx, 0.0) + jnp.maximum(lbx - x, 0.0))
+    return vc + vx
+
+
+def _violation_inf(c, cl, cu, x, lbx, ubx):
+    vc = jnp.max(jnp.maximum(jnp.maximum(c - cu, 0.0),
+                             jnp.maximum(cl - c, 0.0)), initial=0.0)
+    vx = jnp.max(jnp.maximum(jnp.maximum(x - ubx, 0.0),
+                             jnp.maximum(lbx - x, 0.0)), initial=0.0)
+    return jnp.maximum(vc, vx)
+
+
+def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
+              lam0=None, settings: SQPSettings = SQPSettings()) -> SQPSolution:
+    """Solve the NLP from initial guess x0.  Pure function: jit/vmap-safe.
+
+    p: parameter pytree forwarded to all problem callables.
+    lam0: optional warm start for the general-constraint duals.
+    """
+    if not settings.validate():
+        raise ValueError("invalid SQP settings")
+    dt = x0.dtype
+    n, m = nlp.n, nlp.m
+    if bounds is None:
+        bounds = unbounded(nlp, dt)
+    cl, cu = _row_bounds(nlp, bounds, dt)
+
+    cost_fn = lambda x: nlp.cost(x, p)
+    con_fn = lambda x: _constraints(nlp, x, p)
+    grad_fn = jax.grad(cost_fn)
+    jac_fn = jax.jacfwd(con_fn)
+
+    def lag_grad(x, lam):
+        # gradient of f + lam'c wrt x (box-dual term excluded: constant wrt x
+        # derivative handled via lam_box directly)
+        g = grad_fn(x)
+        if m:
+            g = g + jac_fn(x).T @ lam
+        return g
+
+    if settings.hessian == "exact":
+        def hess_fn(x, lam):
+            def lagr(xx):
+                val = cost_fn(xx)
+                if m:
+                    val = val + con_fn(xx) @ lam
+                return val
+            return jax.hessian(lagr)(x)
+    elif settings.hessian == "gauss_newton":
+        if nlp.gn_hessian is None:
+            raise ValueError("hessian='gauss_newton' requires nlp.gn_hessian")
+        hess_fn = lambda x, lam: nlp.gn_hessian(x, p)
+    else:
+        hess_fn = None  # BFGS carries B
+
+    def merit_components(x):
+        return cost_fn(x), _violation_l1(con_fn(x), cl, cu, x,
+                                         bounds.lbx, bounds.ubx)
+
+    alphas = jnp.asarray(settings.tau, dt) ** jnp.arange(settings.ls_max_iter)
+
+    def body(carry):
+        (x, lam, lam_box, B, it, done, qp_iters_acc,
+         prim_step, dual_step, viol) = carry
+
+        g = grad_fn(x)
+        c = con_fn(x) if m else jnp.zeros(0, dt)
+        A = jac_fn(x) if m else jnp.zeros((0, n), dt)
+
+        if settings.hessian == "bfgs":
+            H = B
+        else:
+            H = hess_fn(x, lam)
+        H = regularize(H, settings.reg, settings.reg_eps)
+
+        # QP subproblem in the step p: bounds shifted by the current iterate
+        # (ref: sqp_base.hpp:586-593)
+        qp = QPData(H=H, h=g, A=A, al=cl - c, au=cu - c,
+                    xl=bounds.lbx - x, xu=bounds.ubx - x)
+        qp_sol = box_admm_solve(qp, y0=lam, y_box0=lam_box,
+                                settings=settings.qp)
+        pstep = qp_sol.x
+        lam_qp = qp_sol.y
+        lam_box_qp = qp_sol.y_box
+
+        # --- l1-merit line search, batched over fixed trial alphas ---
+        mu = settings.merit_mu_safety + (
+            jnp.maximum(
+                jnp.max(jnp.abs(lam_qp), initial=0.0),
+                jnp.max(jnp.abs(lam_box_qp), initial=0.0)))
+        f0, v0 = merit_components(x)
+        phi0 = f0 + mu * v0
+        # directional derivative of the merit at alpha=0
+        dphi = g @ pstep - mu * v0
+        trial_f, trial_v = jax.vmap(
+            lambda a: merit_components(x + a * pstep))(alphas)
+        phis = trial_f + mu * trial_v
+        ok = phis <= phi0 + settings.eta * alphas * dphi
+        first = jnp.argmax(ok)  # index of first acceptable trial
+        alpha = jnp.where(jnp.any(ok), alphas[first], alphas[-1])
+
+        x2 = x + alpha * pstep
+        lam2 = lam + alpha * (lam_qp - lam) if m else lam
+        lam_box2 = lam_box + alpha * (lam_box_qp - lam_box)
+
+        if settings.hessian == "bfgs":
+            s_vec = x2 - x
+            y_vec = lag_grad(x2, lam2) - lag_grad(x, lam2)
+            B2 = bfgs_update(B, s_vec, y_vec)
+        else:
+            B2 = B
+
+        ps = jnp.max(jnp.abs(alpha * pstep), initial=0.0)
+        ds = jnp.max(jnp.abs(alpha * (lam_qp - lam)), initial=0.0) if m \
+            else jnp.zeros((), dt)
+        c2 = con_fn(x2) if m else jnp.zeros(0, dt)
+        vi = _violation_inf(c2, cl, cu, x2, bounds.lbx, bounds.ubx)
+        # stationarity of the Lagrangian: catches line-search stalls that the
+        # reference's step-norm-only criterion (sqp_base.hpp:523-529) misses
+        stat = jnp.max(jnp.abs(lag_grad(x2, lam2) + lam_box2), initial=0.0)
+        conv = (ps <= settings.eps_prim) & (ds <= settings.eps_dual) \
+            & (vi <= settings.eps_viol) & (stat <= settings.eps_stat)
+
+        new = (x2, lam2, lam_box2, B2, it + 1, conv,
+               qp_iters_acc + qp_sol.iters, ps, ds, vi)
+        old = (x, lam, lam_box, B, it, done, qp_iters_acc,
+               prim_step, dual_step, viol)
+        return tuple(jnp.where(done, o, nw) for o, nw in zip(old, new))
+
+    def cond(carry):
+        it, done = carry[4], carry[5]
+        return (~done) & (it < settings.max_iter)
+
+    lam_init = (jnp.zeros(m, dt) if lam0 is None else lam0.astype(dt))
+    init = (x0.astype(dt), lam_init, jnp.zeros(n, dt),
+            jnp.eye(n, dtype=dt), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt))
+
+    (x, lam, lam_box, B, iters, done, qp_iters,
+     ps, ds, vi) = jax.lax.while_loop(cond, body, init)
+
+    status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
+    return SQPSolution(x=x, lam=lam, lam_box=lam_box, status=status,
+                       iters=iters, qp_iters=qp_iters, cost=cost_fn(x),
+                       primal_step=ps, dual_step=ds, violation=vi)
