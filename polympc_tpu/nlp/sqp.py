@@ -118,7 +118,7 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
 
     def body(carry):
         (x, lam, lam_box, B, it, done, qp_iters_acc,
-         prim_step, dual_step, viol) = carry
+         prim_step, dual_step, viol, filt_f, filt_v) = carry
 
         g = grad_fn(x)
         c = con_fn(x) if m else jnp.zeros(0, dt)
@@ -140,21 +140,49 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         lam_qp = qp_sol.y
         lam_box_qp = qp_sol.y_box
 
-        # --- l1-merit line search, batched over fixed trial alphas ---
-        mu = settings.merit_mu_safety + (
-            jnp.maximum(
-                jnp.max(jnp.abs(lam_qp), initial=0.0),
-                jnp.max(jnp.abs(lam_box_qp), initial=0.0)))
+        # --- line search, batched over fixed trial alphas ---
         f0, v0 = merit_components(x)
-        phi0 = f0 + mu * v0
-        # directional derivative of the merit at alpha=0
-        dphi = g @ pstep - mu * v0
+        dphi_f = g @ pstep  # cost directional derivative
         trial_f, trial_v = jax.vmap(
             lambda a: merit_components(x + a * pstep))(alphas)
-        phis = trial_f + mu * trial_v
-        ok = phis <= phi0 + settings.eta * alphas * dphi
+
+        if settings.line_search == "merit":
+            # l1 exact-penalty merit with mu = ||lambda||_inf (+ safety, cap)
+            mu = jnp.minimum(
+                settings.merit_mu_safety + jnp.maximum(
+                    jnp.max(jnp.abs(lam_qp), initial=0.0),
+                    jnp.max(jnp.abs(lam_box_qp), initial=0.0)),
+                settings.merit_mu_max)
+            phi0 = f0 + mu * v0
+            dphi = dphi_f - mu * v0
+            phis = trial_f + mu * trial_v
+            ok = phis <= phi0 + settings.eta * alphas * dphi
+        else:
+            # Fletcher-Leyffer filter acceptance (line_search.hpp:16-98):
+            # a trial is acceptable if, vs every filter entry and the current
+            # point, it improves cost or violation by the margins
+            gma, beta = settings.filter_gamma, settings.filter_beta
+            ok_entries = jnp.all(
+                (trial_f[:, None] <= filt_f[None, :] - gma * filt_v[None, :])
+                | (trial_v[:, None] <= beta * filt_v[None, :]), axis=1)
+            ok_current = (trial_f <= f0 - gma * v0) | (trial_v <= beta * v0)
+            ok = ok_entries & ok_current
+
         first = jnp.argmax(ok)  # index of first acceptable trial
         alpha = jnp.where(jnp.any(ok), alphas[first], alphas[-1])
+
+        if settings.line_search == "filter":
+            # augment the filter with the departed point when the accepted
+            # step is not a sufficient-cost-decrease (f-type) step; bounded
+            # depth via ring buffer (vmap-safe, no list surgery)
+            chosen_f = jnp.where(jnp.any(ok), trial_f[first], trial_f[-1])
+            f_type = (dphi_f < 0) & (
+                chosen_f <= f0 + settings.eta * alpha * dphi_f)
+            slot = jnp.mod(it, settings.filter_depth)
+            filt_f = jnp.where(f_type, filt_f,
+                               filt_f.at[slot].set(f0))
+            filt_v = jnp.where(f_type, filt_v,
+                               filt_v.at[slot].set(v0))
 
         x2 = x + alpha * pstep
         lam2 = lam + alpha * (lam_qp - lam) if m else lam
@@ -179,9 +207,9 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             & (vi <= settings.eps_viol) & (stat <= settings.eps_stat)
 
         new = (x2, lam2, lam_box2, B2, it + 1, conv,
-               qp_iters_acc + qp_sol.iters, ps, ds, vi)
+               qp_iters_acc + qp_sol.iters, ps, ds, vi, filt_f, filt_v)
         old = (x, lam, lam_box, B, it, done, qp_iters_acc,
-               prim_step, dual_step, viol)
+               prim_step, dual_step, viol, filt_f, filt_v)
         return tuple(jnp.where(done, o, nw) for o, nw in zip(old, new))
 
     def cond(carry):
@@ -189,14 +217,17 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         return (~done) & (it < settings.max_iter)
 
     lam_init = (jnp.zeros(m, dt) if lam0 is None else lam0.astype(dt))
+    # empty filter entries (f=+inf, v=0) accept everything
+    filt_f0 = jnp.full(settings.filter_depth, jnp.inf, dt)
+    filt_v0 = jnp.zeros(settings.filter_depth, dt)
     init = (x0.astype(dt), lam_init, jnp.zeros(n, dt),
             jnp.eye(n, dtype=dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt))
+            jnp.asarray(jnp.inf, dt), filt_f0, filt_v0)
 
     (x, lam, lam_box, B, iters, done, qp_iters,
-     ps, ds, vi) = jax.lax.while_loop(cond, body, init)
+     ps, ds, vi, _, _) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
     return SQPSolution(x=x, lam=lam, lam_box=lam_box, status=status,

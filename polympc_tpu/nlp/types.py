@@ -76,14 +76,21 @@ class SQPSettings:
     hessian: str = "bfgs"      # "bfgs" | "exact" | "gauss_newton"
     reg: str = "eigen"         # "none" | "gershgorin" | "eigen"
     reg_eps: float = 1e-6
+    line_search: str = "merit"  # "merit" | "filter"
     merit_mu_safety: float = 1e-2   # mu = ||lam||_inf + safety
+    merit_mu_max: float = 1e6       # cap on the l1 penalty weight
+    filter_depth: int = 10          # max filter entries (line_search.hpp:30)
+    filter_gamma: float = 1e-5      # filter acceptability margins
+    filter_beta: float = 0.999
     qp: ADMMSettings = ADMMSettings(eps_abs=1e-4, eps_rel=1e-5)
 
     def validate(self) -> bool:
         return (self.max_iter >= 1 and self.ls_max_iter >= 1
                 and 0 < self.tau < 1 and 0 < self.eta < 1
                 and self.hessian in ("bfgs", "exact", "gauss_newton")
-                and self.reg in ("none", "gershgorin", "eigen"))
+                and self.reg in ("none", "gershgorin", "eigen")
+                and self.line_search in ("merit", "filter")
+                and self.filter_depth >= 1)
 
 
 class SQPSolution(NamedTuple):

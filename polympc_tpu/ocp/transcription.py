@@ -1,0 +1,207 @@
+"""Chebyshev/Legendre pseudospectral collocation transcription: OCP -> NLP.
+
+TPU-native re-design of the reference's ``ContinuousOCP`` transcription
+(continuous_ocp.hpp:739-1207).  Key differences (SURVEY.md §7):
+
+  - decision vector z = [X (N*nx); U (N*nu); P (np_)] in FORWARD time order —
+    node 0 is t0 (the reference stores trajectories reversed,
+    continuous_ocp.hpp:55,158; we deliberately do not copy that quirk);
+  - defect constraints are a dense composite-differentiation matmul
+    ``Dg @ X - scale * f(X, U, p, t)`` evaluated with one ``vmap`` over nodes
+    — an (N,N)x(N,nx) matmul on the MXU instead of sparse Kronecker inserts
+    (continuous_ocp.hpp:896-954);
+  - derivatives come from jax.jacfwd/jax.hessian on the whole transcribed
+    functions (the per-node block structure is exploited later by structured
+    jacobian assembly and the Pallas KKT kernel, not by sparse formats);
+  - time limits [t0, tf] are *runtime* values in the parameter pytree, so one
+    compiled solver serves any horizon (the reference recomputes composite
+    matrices in ``set_time_limits``, continuous_ocp.hpp:147-159).
+
+The transcribed NLP's parameter pytree is
+    {"p": (np_,), "d": (nd,), "t0": scalar, "tf": scalar}.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from polympc_tpu.basis.basis import SegmentedBasis
+from polympc_tpu.nlp.types import NLP, NLPBounds
+from polympc_tpu.ocp.ocp import OCP
+
+__all__ = ["Transcription", "transcribe", "split_z", "pack_z"]
+
+
+def split_z(z, nx, nu, N, np_):
+    """z -> (X (N,nx), U (N,nu), P (np_,))."""
+    X = z[: N * nx].reshape(N, nx)
+    U = z[N * nx: N * (nx + nu)].reshape(N, nu)
+    P = z[N * (nx + nu):]
+    return X, U, P
+
+
+def pack_z(X, U, P=None):
+    parts = [X.reshape(-1), U.reshape(-1)]
+    if P is not None and jnp.size(P):
+        parts.append(jnp.reshape(P, (-1,)))
+    return jnp.concatenate(parts)
+
+
+@dataclasses.dataclass(frozen=True)
+class Transcription:
+    """Static transcription: OCP + mesh -> NLP with collocation constants.
+
+    Attributes mirror what jitted code needs as constants:
+      Dg_unit: composite differentiation matrix for unit segments (dt=2),
+               scaled at trace time by 2*NS/(tf-t0);
+      w_unit:  composite quadrature weights for unit segments, scaled by
+               (tf-t0)/(2*NS);
+      tau:     normalised time grid on [0, 1].
+    """
+    ocp: OCP
+    mesh: SegmentedBasis
+    nlp: NLP
+    Dg_unit: np.ndarray
+    w_unit: np.ndarray
+    tau: np.ndarray
+
+    @property
+    def N(self) -> int:
+        return self.mesh.num_nodes
+
+    @property
+    def n_vars(self) -> int:
+        return self.nlp.n
+
+    def initial_guess(self, x0=None, dtype=jnp.float64):
+        """Constant-trajectory initial guess (x0 tiled, zero controls/params)."""
+        N = self.N
+        X = jnp.zeros((N, self.ocp.nx), dtype) if x0 is None else \
+            jnp.tile(jnp.asarray(x0, dtype)[None, :], (N, 1))
+        U = jnp.zeros((N, self.ocp.nu), dtype)
+        P = jnp.zeros(self.ocp.np_, dtype)
+        return pack_z(X, U, P)
+
+    def params(self, p=None, d=None, t0=0.0, tf=1.0, dtype=jnp.float64):
+        return {
+            "p": jnp.zeros(self.ocp.np_, dtype) if p is None
+            else jnp.asarray(p, dtype),
+            "d": jnp.zeros(self.ocp.nd, dtype) if d is None
+            else jnp.asarray(d, dtype),
+            "t0": jnp.asarray(t0, dtype),
+            "tf": jnp.asarray(tf, dtype),
+        }
+
+
+def transcribe(ocp: OCP, mesh: SegmentedBasis) -> Transcription:
+    """Build the collocation NLP for an OCP on the given multi-segment mesh."""
+    N = mesh.num_nodes
+    nx, nu, np_, ng = ocp.nx, ocp.nu, ocp.np_, ocp.ng
+    n = N * (nx + nu) + np_
+    ne = N * nx
+    ni = N * ng
+
+    NS = mesh.num_segments
+    # unit-segment composite operators: built once in numpy float64
+    Dg_unit = mesh.composite_diff_matrix(0.0, 2.0 * NS)   # scale 2/dt = 1
+    w_unit = mesh.quadrature_weights(0.0, 2.0 * NS)       # dt/2 = 1 per seg
+    tau = mesh.time_nodes(0.0, 1.0)
+
+    def _times(prm, dtype):
+        t0, tf = prm["t0"], prm["tf"]
+        return t0 + (tf - t0) * jnp.asarray(tau, dtype)
+
+    def eq_fn(z, prm):
+        """Collocation defects Dg@X - scale*f at every node, row-major (N,nx)
+        flattened (ref: continuous_ocp.hpp:739-766)."""
+        X, U, P = split_z(z, nx, nu, N, np_)
+        t = _times(prm, z.dtype)
+        d = prm["d"]
+        f = jax.vmap(lambda xk, uk, tk: ocp.dynamics(xk, uk, P, d, tk))(
+            X, U, t)
+        scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
+        Dg = jnp.asarray(Dg_unit, z.dtype)
+        return (Dg @ X - scale * f).reshape(-1)
+
+    def cost_fn(z, prm):
+        """Quadrature Lagrange cost + Mayer at the final node
+        (ref: continuous_ocp.hpp:1182-1207; Mayer at node 0 there because of
+        reverse ordering — here the final node is t = tf)."""
+        X, U, P = split_z(z, nx, nu, N, np_)
+        t = _times(prm, z.dtype)
+        d = prm["d"]
+        total = jnp.zeros((), z.dtype)
+        if ocp.lagrange is not None:
+            L = jax.vmap(lambda xk, uk, tk: ocp.lagrange(xk, uk, P, d, tk))(
+                X, U, t)
+            scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
+            total = total + scale * (jnp.asarray(w_unit, z.dtype) @ L)
+        if ocp.mayer is not None:
+            total = total + ocp.mayer(X[-1], P, d)
+        return total
+
+    ineq_fn = None
+    if ocp.ineq is not None:
+        def ineq_fn(z, prm):
+            X, U, P = split_z(z, nx, nu, N, np_)
+            t = _times(prm, z.dtype)
+            d = prm["d"]
+            G = jax.vmap(lambda xk, uk, tk: ocp.ineq(xk, uk, P, d, tk))(
+                X, U, t)
+            return G.reshape(-1)
+
+    nlp = NLP(cost=cost_fn, n=n, eq=eq_fn, ne=ne,
+              ineq=ineq_fn, ni=ni)
+    return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
+                         Dg_unit=Dg_unit, w_unit=w_unit, tau=tau)
+
+
+def ocp_bounds(tr: Transcription,
+               xl=None, xu=None, ul=None, uu=None, pl=None, pu=None,
+               gl=None, gu=None, x0=None, xf=None,
+               dtype=jnp.float64) -> NLPBounds:
+    """Assemble NLP box/row bounds from per-variable OCP bounds.
+
+    Mirrors the MPC wrapper's bound management (mpc_wrapper.hpp:89-181):
+    x0/xf pin the first/last state node by equality (initial/terminal
+    conditions); state/control bounds broadcast over nodes.
+    """
+    ocp, N = tr.ocp, tr.N
+    inf = np.inf
+
+    def _fill(v, size, default):
+        if v is None:
+            return jnp.full(size, default, dtype)
+        return jnp.asarray(v, dtype)
+
+    xl = _fill(xl, ocp.nx, -inf)
+    xu = _fill(xu, ocp.nx, inf)
+    ul = _fill(ul, ocp.nu, -inf)
+    uu = _fill(uu, ocp.nu, inf)
+    pl = _fill(pl, ocp.np_, -inf)
+    pu = _fill(pu, ocp.np_, inf)
+
+    Xl = jnp.tile(xl[None, :], (N, 1))
+    Xu = jnp.tile(xu[None, :], (N, 1))
+    if x0 is not None:
+        x0 = jnp.asarray(x0, dtype)
+        Xl = Xl.at[0].set(x0)
+        Xu = Xu.at[0].set(x0)
+    if xf is not None:
+        xf = jnp.asarray(xf, dtype)
+        Xl = Xl.at[-1].set(xf)
+        Xu = Xu.at[-1].set(xf)
+    Ul = jnp.tile(ul[None, :], (N, 1))
+    Uu = jnp.tile(uu[None, :], (N, 1))
+
+    lbx = jnp.concatenate([Xl.reshape(-1), Ul.reshape(-1), pl])
+    ubx = jnp.concatenate([Xu.reshape(-1), Uu.reshape(-1), pu])
+
+    gl_row = _fill(gl, ocp.ng, -inf)
+    gu_row = _fill(gu, ocp.ng, inf)
+    GL = jnp.tile(gl_row[None, :], (N, 1)).reshape(-1)
+    GU = jnp.tile(gu_row[None, :], (N, 1)).reshape(-1)
+    return NLPBounds(lbx=lbx, ubx=ubx, gl=GL, gu=GU)
