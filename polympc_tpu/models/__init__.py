@@ -1,3 +1,7 @@
 from polympc_tpu.models.mobile_robot import robot_ocp, parking_ocp
+from polympc_tpu.models.cstr import (
+    cstr_ocp, CSTR_XS, CSTR_US, CSTR_X0, CSTR_ULB, CSTR_UUB,
+)
 
-__all__ = ["robot_ocp", "parking_ocp"]
+__all__ = ["robot_ocp", "parking_ocp", "cstr_ocp",
+           "CSTR_XS", "CSTR_US", "CSTR_X0", "CSTR_ULB", "CSTR_UUB"]

@@ -60,6 +60,9 @@ def regularize(H, mode: str, eps: float):
         return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
     if mode == "eigen":
         w, V = jnp.linalg.eigh(0.5 * (H + H.T))
-        w = jnp.maximum(jnp.abs(w), eps)
+        # relative floor: an absolute floor leaves the QP catastrophically
+        # ill-conditioned when ||H|| is large
+        floor = eps * jnp.maximum(jnp.max(jnp.abs(w)), 1.0)
+        w = jnp.maximum(jnp.abs(w), floor)
         return (V * w) @ V.T
     raise ValueError(f"unknown regularisation mode {mode!r}")

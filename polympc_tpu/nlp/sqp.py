@@ -136,15 +136,27 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
                     xl=bounds.lbx - x, xu=bounds.ubx - x)
         qp_sol = box_admm_solve(qp, y0=lam, y_box0=lam_box,
                                 settings=settings.qp)
-        pstep = qp_sol.x
-        lam_qp = qp_sol.y
-        lam_box_qp = qp_sol.y_box
+        # reject non-finite / diverged QP steps (stay put, duals unchanged)
+        p_ok = (jnp.all(jnp.isfinite(qp_sol.x))
+                & jnp.all(jnp.isfinite(qp_sol.y))
+                & jnp.all(jnp.isfinite(qp_sol.y_box)))
+        pstep = jnp.where(p_ok, qp_sol.x, 0.0)
+        lam_qp = jnp.where(p_ok, qp_sol.y, lam)
+        lam_box_qp = jnp.where(p_ok, qp_sol.y_box, lam_box)
+        # an unconverged QP can return a step violating the (shifted) box;
+        # clipping keeps every trial iterate x + alpha*p inside [lbx, ubx]
+        pstep = jnp.clip(pstep, bounds.lbx - x, bounds.ubx - x)
 
         # --- line search, batched over fixed trial alphas ---
         f0, v0 = merit_components(x)
         dphi_f = g @ pstep  # cost directional derivative
         trial_f, trial_v = jax.vmap(
             lambda a: merit_components(x + a * pstep))(alphas)
+        # NaN-safe: a trial that overflows the dynamics (e.g. exp() blow-up
+        # at unphysical states) must be rejected, not silently compared
+        bad = jnp.isnan(trial_f) | jnp.isnan(trial_v)
+        trial_f = jnp.where(bad, jnp.inf, trial_f)
+        trial_v = jnp.where(bad, jnp.inf, trial_v)
 
         if settings.line_search == "merit":
             # l1 exact-penalty merit with mu = ||lambda||_inf (+ safety, cap)
@@ -169,7 +181,12 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             ok = ok_entries & ok_current
 
         first = jnp.argmax(ok)  # index of first acceptable trial
-        alpha = jnp.where(jnp.any(ok), alphas[first], alphas[-1])
+        # fallback when nothing is acceptable: the least-bad finite trial
+        # (by merit for the l1 search, by violation for the filter)
+        score = (trial_f + trial_v) if settings.line_search == "filter" \
+            else phis
+        fallback = jnp.argmin(jnp.where(jnp.isfinite(score), score, jnp.inf))
+        alpha = jnp.where(jnp.any(ok), alphas[first], alphas[fallback])
 
         if settings.line_search == "filter":
             # augment the filter with the departed point when the accepted
@@ -201,10 +218,17 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         c2 = con_fn(x2) if m else jnp.zeros(0, dt)
         vi = _violation_inf(c2, cl, cu, x2, bounds.lbx, bounds.ubx)
         # stationarity of the Lagrangian: catches line-search stalls that the
-        # reference's step-norm-only criterion (sqp_base.hpp:523-529) misses
+        # reference's step-norm-only criterion (sqp_base.hpp:523-529) misses.
+        # dual-step and stationarity tests are *relative* to the multiplier
+        # scale — problems like the CSTR have |lambda| ~ 1e5 at the optimum
         stat = jnp.max(jnp.abs(lag_grad(x2, lam2) + lam_box2), initial=0.0)
-        conv = (ps <= settings.eps_prim) & (ds <= settings.eps_dual) \
-            & (vi <= settings.eps_viol) & (stat <= settings.eps_stat)
+        lam_scale = jnp.maximum(
+            1.0, jnp.maximum(jnp.max(jnp.abs(lam2), initial=0.0),
+                             jnp.max(jnp.abs(lam_box2), initial=0.0)))
+        conv = (ps <= settings.eps_prim) \
+            & (ds <= settings.eps_dual * lam_scale) \
+            & (vi <= settings.eps_viol) \
+            & (stat <= settings.eps_stat * lam_scale)
 
         new = (x2, lam2, lam_box2, B2, it + 1, conv,
                qp_iters_acc + qp_sol.iters, ps, ds, vi, filt_f, filt_v)
@@ -220,6 +244,9 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
     # empty filter entries (f=+inf, v=0) accept everything
     filt_f0 = jnp.full(settings.filter_depth, jnp.inf, dt)
     filt_v0 = jnp.zeros(settings.filter_depth, dt)
+    # project the initial guess into the box so all iterates stay feasible
+    # with respect to the bounds (steps are clipped to the shifted box)
+    x0 = jnp.clip(x0.astype(dt), bounds.lbx, bounds.ubx)
     init = (x0.astype(dt), lam_init, jnp.zeros(n, dt),
             jnp.eye(n, dtype=dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32),

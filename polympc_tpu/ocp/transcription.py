@@ -67,6 +67,9 @@ class Transcription:
     Dg_unit: np.ndarray
     w_unit: np.ndarray
     tau: np.ndarray
+    x_scale: np.ndarray = None
+    u_scale: np.ndarray = None
+    p_scale: np.ndarray = None
 
     @property
     def N(self) -> int:
@@ -77,13 +80,29 @@ class Transcription:
         return self.nlp.n
 
     def initial_guess(self, x0=None, dtype=jnp.float64):
-        """Constant-trajectory initial guess (x0 tiled, zero controls/params)."""
+        """Constant-trajectory initial guess (x0 tiled, zero controls/params),
+        in *physical* units (scaling applied internally)."""
         N = self.N
         X = jnp.zeros((N, self.ocp.nx), dtype) if x0 is None else \
             jnp.tile(jnp.asarray(x0, dtype)[None, :], (N, 1))
         U = jnp.zeros((N, self.ocp.nu), dtype)
         P = jnp.zeros(self.ocp.np_, dtype)
+        return self.pack(X, U, P)
+
+    def pack(self, X, U, P=None):
+        """Physical (X, U, P) -> scaled decision vector z."""
+        X = jnp.asarray(X) / jnp.asarray(self.x_scale)
+        U = jnp.asarray(U) / jnp.asarray(self.u_scale)
+        if P is not None and self.ocp.np_:
+            P = jnp.asarray(P) / jnp.asarray(self.p_scale)
         return pack_z(X, U, P)
+
+    def unpack(self, z):
+        """Scaled decision vector z -> physical (X, U, P)."""
+        X, U, P = split_z(z, self.ocp.nx, self.ocp.nu, self.N, self.ocp.np_)
+        return (X * jnp.asarray(self.x_scale),
+                U * jnp.asarray(self.u_scale),
+                P * jnp.asarray(self.p_scale))
 
     def params(self, p=None, d=None, t0=0.0, tf=1.0, dtype=jnp.float64):
         return {
@@ -96,10 +115,22 @@ class Transcription:
         }
 
 
-def transcribe(ocp: OCP, mesh: SegmentedBasis) -> Transcription:
-    """Build the collocation NLP for an OCP on the given multi-segment mesh."""
+def transcribe(ocp: OCP, mesh: SegmentedBasis,
+               x_scale=None, u_scale=None, p_scale=None) -> Transcription:
+    """Build the collocation NLP for an OCP on the given multi-segment mesh.
+
+    x_scale/u_scale/p_scale: optional per-variable scaling (physical value =
+    scale * decision variable).  The NLP is posed in scaled variables so all
+    decision variables are O(1) — essential for first-order QP solvers on
+    problems like the CSTR whose natural units span 5 orders of magnitude
+    (the role of the scaling matrices in the reference's legacy layer,
+    generic_ocp.hpp:88-120).
+    """
     N = mesh.num_nodes
     nx, nu, np_, ng = ocp.nx, ocp.nu, ocp.np_, ocp.ng
+    sx = np.ones(nx) if x_scale is None else np.asarray(x_scale, np.float64)
+    su = np.ones(nu) if u_scale is None else np.asarray(u_scale, np.float64)
+    sp = np.ones(np_) if p_scale is None else np.asarray(p_scale, np.float64)
     n = N * (nx + nu) + np_
     ne = N * nx
     ni = N * ng
@@ -114,23 +145,30 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis) -> Transcription:
         t0, tf = prm["t0"], prm["tf"]
         return t0 + (tf - t0) * jnp.asarray(tau, dtype)
 
-    def eq_fn(z, prm):
-        """Collocation defects Dg@X - scale*f at every node, row-major (N,nx)
-        flattened (ref: continuous_ocp.hpp:739-766)."""
+    def _unscale(z):
         X, U, P = split_z(z, nx, nu, N, np_)
+        return (X * jnp.asarray(sx, z.dtype), U * jnp.asarray(su, z.dtype),
+                P * jnp.asarray(sp, z.dtype))
+
+    def eq_fn(z, prm):
+        """Collocation defects Dg@X~ - scale*f/sx at every node, row-major
+        (N,nx) flattened (ref: continuous_ocp.hpp:739-766).  Rows are in
+        scaled state units so defect magnitudes are commensurate."""
+        X, U, P = _unscale(z)
         t = _times(prm, z.dtype)
         d = prm["d"]
         f = jax.vmap(lambda xk, uk, tk: ocp.dynamics(xk, uk, P, d, tk))(
             X, U, t)
         scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
         Dg = jnp.asarray(Dg_unit, z.dtype)
-        return (Dg @ X - scale * f).reshape(-1)
+        sxj = jnp.asarray(sx, z.dtype)
+        return (Dg @ (X / sxj) - scale * f / sxj).reshape(-1)
 
     def cost_fn(z, prm):
         """Quadrature Lagrange cost + Mayer at the final node
         (ref: continuous_ocp.hpp:1182-1207; Mayer at node 0 there because of
         reverse ordering — here the final node is t = tf)."""
-        X, U, P = split_z(z, nx, nu, N, np_)
+        X, U, P = _unscale(z)
         t = _times(prm, z.dtype)
         d = prm["d"]
         total = jnp.zeros((), z.dtype)
@@ -146,7 +184,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis) -> Transcription:
     ineq_fn = None
     if ocp.ineq is not None:
         def ineq_fn(z, prm):
-            X, U, P = split_z(z, nx, nu, N, np_)
+            X, U, P = _unscale(z)
             t = _times(prm, z.dtype)
             d = prm["d"]
             G = jax.vmap(lambda xk, uk, tk: ocp.ineq(xk, uk, P, d, tk))(
@@ -156,7 +194,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis) -> Transcription:
     nlp = NLP(cost=cost_fn, n=n, eq=eq_fn, ne=ne,
               ineq=ineq_fn, ni=ni)
     return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
-                         Dg_unit=Dg_unit, w_unit=w_unit, tau=tau)
+                         Dg_unit=Dg_unit, w_unit=w_unit, tau=tau,
+                         x_scale=sx, u_scale=su, p_scale=sp)
 
 
 def ocp_bounds(tr: Transcription,
@@ -177,21 +216,24 @@ def ocp_bounds(tr: Transcription,
             return jnp.full(size, default, dtype)
         return jnp.asarray(v, dtype)
 
-    xl = _fill(xl, ocp.nx, -inf)
-    xu = _fill(xu, ocp.nx, inf)
-    ul = _fill(ul, ocp.nu, -inf)
-    uu = _fill(uu, ocp.nu, inf)
-    pl = _fill(pl, ocp.np_, -inf)
-    pu = _fill(pu, ocp.np_, inf)
+    sx = jnp.asarray(tr.x_scale, dtype)
+    su = jnp.asarray(tr.u_scale, dtype)
+    sp = jnp.asarray(tr.p_scale, dtype)
+    xl = _fill(xl, ocp.nx, -inf) / sx
+    xu = _fill(xu, ocp.nx, inf) / sx
+    ul = _fill(ul, ocp.nu, -inf) / su
+    uu = _fill(uu, ocp.nu, inf) / su
+    pl = _fill(pl, ocp.np_, -inf) / sp
+    pu = _fill(pu, ocp.np_, inf) / sp
 
     Xl = jnp.tile(xl[None, :], (N, 1))
     Xu = jnp.tile(xu[None, :], (N, 1))
     if x0 is not None:
-        x0 = jnp.asarray(x0, dtype)
+        x0 = jnp.asarray(x0, dtype) / sx
         Xl = Xl.at[0].set(x0)
         Xu = Xu.at[0].set(x0)
     if xf is not None:
-        xf = jnp.asarray(xf, dtype)
+        xf = jnp.asarray(xf, dtype) / sx
         Xl = Xl.at[-1].set(xf)
         Xu = Xu.at[-1].set(xf)
     Ul = jnp.tile(ul[None, :], (N, 1))

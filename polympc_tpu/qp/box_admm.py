@@ -127,9 +127,10 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
     scaling = None
     if settings.equil_iters > 0:
         qp, scaling = ruiz_equilibrate(qp, iters=settings.equil_iters)
+        # inverse of unscale_solution: x = d*x~, y = e*y~/c, yb = y~b/(d*c)
         x0 = x0 / scaling.d
-        y0 = y0 * scaling.e / scaling.c
-        yb0 = yb0 / (scaling.d * scaling.c)
+        y0 = y0 * scaling.c / scaling.e
+        yb0 = yb0 * scaling.d * scaling.c
 
     x = x0.astype(dt)
     y = y0.astype(dt)
@@ -151,7 +152,7 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         return rho, jnp.clip(rb, settings.rho_min, settings.rho_max)
 
     def epoch_body(carry):
-        x, z, q, y, yb, rho_base, epoch, done, rp, rd = carry
+        x, z, q, y, yb, rho_base, epoch, done, rp, rd, div = carry
         rho, rb = make_rho(rho_base)
         kkt = _build_kkt(qp, rho, rb, settings.sigma)
         fac = lu_factor(kkt)
@@ -185,10 +186,21 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         x2, z2, q2, y2, yb2 = jax.lax.fori_loop(
             0, settings.check_every, admm_iter, (x, z, q, y, yb))
 
+        # divergence guard: ill-conditioned or non-finite data can blow the
+        # iteration up; freeze at the last finite state and report UNSOLVED
+        finite = (jnp.all(jnp.isfinite(x2)) & jnp.all(jnp.isfinite(y2))
+                  & jnp.all(jnp.isfinite(yb2)))
+        x2 = jnp.where(finite, x2, x)
+        z2 = jnp.where(finite, z2, z)
+        q2 = jnp.where(finite, q2, q)
+        y2 = jnp.where(finite, y2, y)
+        yb2 = jnp.where(finite, yb2, yb)
+
         rp2, rd2, ps, ds = _residuals(qp, x2, z2, q2, y2, yb2)
         eps_p = settings.eps_abs + settings.eps_rel * ps
         eps_d = settings.eps_abs + settings.eps_rel * ds
         conv = (rp2 <= eps_p) & (rd2 <= eps_d)
+        div2 = div | ~finite
 
         if settings.adaptive_rho:
             # rho <- rho*sqrt(relative primal/dual residual ratio)
@@ -205,9 +217,9 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         # freeze state once converged (vmap lanes finish independently)
         keep = done
         out = tuple(jnp.where(keep, a, b) for a, b in
-                    zip((x, z, q, y, yb, rho_base, epoch, done, rp, rd),
+                    zip((x, z, q, y, yb, rho_base, epoch, done, rp, rd, div),
                         (x2, z2, q2, y2, yb2, rho_next, epoch + 1,
-                         conv, rp2, rd2)))
+                         conv | div2, rp2, rd2, div2)))
         return out
 
     def epoch_cond(carry):
@@ -216,11 +228,21 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
 
     init = (x, z, q, y, yb, rho0, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt))
-    x, z, q, y, yb, rho_base, epochs, done, rp, rd = jax.lax.while_loop(
-        epoch_cond, epoch_body, init)
+            jnp.asarray(jnp.inf, dt), jnp.zeros((), bool))
+    (x, z, q, y, yb, rho_base, epochs, done, rp, rd,
+     diverged) = jax.lax.while_loop(epoch_cond, epoch_body, init)
 
-    status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
+    if settings.polish:
+        x, y, yb, rp, rd = _polish(qp, x, y, yb, rp, rd, settings)
+        eps_p = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            _inf_norm(qp.A @ x) if m else jnp.zeros((), dt), _inf_norm(x))
+        eps_d = settings.eps_abs + settings.eps_rel * jnp.maximum(
+            _inf_norm(qp.H @ x), _inf_norm(qp.h))
+        done = done | ((rp <= eps_p) & (rd <= eps_d) & ~diverged)
+
+    status = jnp.where(
+        diverged, st.UNSOLVED,
+        jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED)).astype(jnp.int32)
     iters = (epochs * settings.check_every).astype(jnp.int32)
     rho_final, _ = make_rho(rho_base)
 
@@ -231,6 +253,65 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
 
     return QPSolution(x=x, y=y, y_box=yb, status=status, iters=iters,
                       res_prim=rp, res_dual=rd, rho=rho_final)
+
+
+def _polish(qp: QPData, x, y, yb, rp, rd, settings: ADMMSettings):
+    """Active-set polish (OSQP §5.5): guess the active set from the ADMM
+    solution, solve the equality-constrained KKT exactly, keep the polished
+    point only if it improves both residuals.  One dense LU — cheap relative
+    to the ADMM loop, and it returns near-machine-precision duals, which
+    matters because SQP warm-starts the next QP with them."""
+    n, m = infer_dims(qp)
+    dt = qp.H.dtype
+    tol = 10.0 * settings.eps_abs + 1e-9
+
+    Ax = qp.A @ x if m else jnp.zeros(0, dt)
+    act_lo = (Ax - qp.al <= tol) if m else jnp.zeros(0, bool)
+    act_up = (qp.au - Ax <= tol) if m else jnp.zeros(0, bool)
+    act = act_lo | act_up
+    b_act = jnp.where(act_lo, qp.al, qp.au) if m else jnp.zeros(0, dt)
+    actb_lo = (x - qp.xl) <= tol
+    actb_up = (qp.xu - x) <= tol
+    actb = actb_lo | actb_up
+    bb_act = jnp.where(actb_lo, qp.xl, qp.xu)
+    # guard unbounded "active" values (can't happen, but keep it finite)
+    b_act = jnp.where(jnp.isfinite(b_act), b_act, 0.0)
+    bb_act = jnp.where(jnp.isfinite(bb_act), bb_act, 0.0)
+
+    af = act.astype(dt)
+    abf = actb.astype(dt)
+    In = jnp.eye(n, dtype=dt)
+    d = settings.polish_delta
+    if m:
+        J = jnp.block([
+            [qp.H + d * In, qp.A.T, In],
+            [af[:, None] * qp.A, jnp.diag(1.0 - af) - d * jnp.diag(af),
+             jnp.zeros((m, n), dt)],
+            [jnp.diag(abf), jnp.zeros((n, m), dt),
+             jnp.diag(1.0 - abf) - d * jnp.diag(abf)],
+        ])
+        rhs = jnp.concatenate([-qp.h, af * b_act, abf * bb_act])
+    else:
+        J = jnp.block([
+            [qp.H + d * In, In],
+            [jnp.diag(abf), jnp.diag(1.0 - abf) - d * jnp.diag(abf)],
+        ])
+        rhs = jnp.concatenate([-qp.h, abf * bb_act])
+    sol = jnp.linalg.solve(J, rhs)
+    xp = sol[:n]
+    yp = sol[n:n + m]
+    ybp = sol[n + m:]
+    # clip primal into bounds (tiny active-set errors) and re-evaluate
+    xp = jnp.clip(xp, qp.xl, qp.xu)
+    zp = qp.A @ xp if m else jnp.zeros(0, dt)
+    zp = jnp.clip(zp, qp.al, qp.au)
+    rp_p, rd_p, _, _ = _residuals(qp, xp, zp, xp, yp, ybp)
+    ok = (jnp.all(jnp.isfinite(xp)) & jnp.all(jnp.isfinite(yp))
+          & jnp.all(jnp.isfinite(ybp))
+          & (rp_p <= rp) & (rd_p <= rd))
+    return (jnp.where(ok, xp, x), jnp.where(ok, yp, y),
+            jnp.where(ok, ybp, yb),
+            jnp.where(ok, rp_p, rp), jnp.where(ok, rd_p, rd))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -63,6 +63,8 @@ class ADMMSettings:
     adaptive_rho_threshold: float = 5.0  # refactor only if scale drifts > this
     eps_inf: float = 1e-5        # infeasibility certificate tolerance
     equil_iters: int = 0         # Ruiz equilibration iterations (0 = off)
+    polish: bool = True          # active-set polish after ADMM (OSQP §5.5)
+    polish_delta: float = 1e-8   # polish KKT regularisation
 
     # constraint classification thresholds (ref: qp_base.hpp:124-222)
     loose_bound: float = 1e10

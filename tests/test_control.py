@@ -1,0 +1,180 @@
+"""Control-layer tests: LQR/CARE/Lyapunov + MPC wrapper + CSTR NMPC.
+
+Oracles: scipy.linalg CARE/Lyapunov reference solutions (replacing the
+reference's bit-rotted lqr_test.cpp whose B matrix is missing a row), CARE
+algebraic residuals, and the CSTR warm-start solve pattern of
+cstr_control_test.cpp:137-183.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.linalg import solve_continuous_are, solve_continuous_lyapunov
+
+from polympc_tpu.basis import Chebyshev, SegmentedBasis
+from polympc_tpu.control import MPC, care, lqr, lyapunov, pinv
+from polympc_tpu.models import (
+    cstr_ocp, robot_ocp, CSTR_X0, CSTR_ULB, CSTR_UUB, CSTR_XS,
+)
+from polympc_tpu.nlp import SQPSettings
+from polympc_tpu.qp.types import ADMMSettings
+from polympc_tpu.utils import status as st
+
+QP = ADMMSettings(eps_abs=1e-6, eps_rel=1e-6, max_epochs=40)
+
+
+def _random_system(n, m, seed):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(n, n))
+    B = rng.normal(size=(n, m))
+    Qh = rng.normal(size=(n, n))
+    Q = Qh @ Qh.T + 0.1 * np.eye(n)
+    R = np.diag(rng.uniform(0.5, 2.0, m))
+    return A, B, Q, R
+
+
+def test_pinv():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(5, 3))
+    Ap = np.asarray(pinv(jnp.asarray(A)))
+    np.testing.assert_allclose(Ap, np.linalg.pinv(A), atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6, 12])
+def test_lyapunov_vs_scipy(n):
+    rng = np.random.default_rng(n)
+    A = rng.normal(size=(n, n)) - 2.0 * n * np.eye(n)   # stable
+    Qh = rng.normal(size=(n, n))
+    Q = Qh @ Qh.T + np.eye(n)
+    P = np.asarray(lyapunov(jnp.asarray(A), jnp.asarray(Q)))
+    P_ref = solve_continuous_lyapunov(A.T, -Q)
+    np.testing.assert_allclose(P, P_ref, rtol=1e-8)
+    np.testing.assert_allclose(A.T @ P + P @ A + Q, 0.0, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("nm", [(4, 2), (12, 4)])
+def test_care_vs_scipy(seed, nm):
+    n, m = nm
+    A, B, Q, R = _random_system(n, m, seed)
+    P = np.asarray(care(jnp.asarray(A), jnp.asarray(B), jnp.asarray(Q),
+                        jnp.asarray(R)))
+    P_ref = solve_continuous_are(A, B, Q, R)
+    np.testing.assert_allclose(P, P_ref, rtol=1e-6, atol=1e-8)
+    # CARE residual
+    res = A.T @ P + P @ A - P @ B @ np.linalg.inv(R) @ B.T @ P + Q
+    assert np.max(np.abs(res)) < 1e-7
+
+
+def test_lqr_quadrotor_like():
+    # 12-state quadrotor-like system in the spirit of lqr_test.cpp:6-57
+    # (that test's B matrix is missing a row upstream; scipy is the oracle)
+    n, m = 12, 4
+    A = np.zeros((n, n))
+    A[0, 3] = A[1, 4] = A[2, 5] = 1.0
+    A[3, 7] = 19.62
+    A[4, 6] = -19.62
+    A[6, 9] = A[7, 10] = A[8, 11] = 0.5
+    B = np.zeros((n, m))
+    B[3, 0] = 9.81
+    B[4, 1] = -9.81
+    B[5, 2] = 0.214791
+    B[9, 1] = -49.4854
+    B[10, 0] = -46.0828
+    B[11, 3] = 21.43
+    Q = np.diag([1, 1, 5, .1, .1, .5, 2, 2, 1e-10, 2, 2, 5.0])
+    R = np.diag([5, 5, .01, .01])
+    K, P = lqr(jnp.asarray(A), jnp.asarray(B), jnp.asarray(Q), jnp.asarray(R))
+    P_ref = solve_continuous_are(A, B, Q, R)
+    np.testing.assert_allclose(np.asarray(P), P_ref, rtol=1e-5, atol=1e-7)
+    # closed loop stable
+    eig = np.linalg.eigvals(A - B @ np.asarray(K))
+    assert np.all(eig.real < 0)
+
+
+def test_lqr_cross_term():
+    n, m = 5, 2
+    A, B, Q, R = _random_system(n, m, 7)
+    M = 0.1 * np.random.default_rng(8).normal(size=(n, m))
+    K, P = lqr(jnp.asarray(A), jnp.asarray(B), jnp.asarray(Q), jnp.asarray(R),
+               M=jnp.asarray(M))
+    # scipy CARE with cross term s
+    P_ref = solve_continuous_are(A, B, Q, R, s=M)
+    np.testing.assert_allclose(np.asarray(P), P_ref, rtol=1e-6, atol=1e-8)
+    eig = np.linalg.eigvals(A - B @ np.asarray(K))
+    assert np.all(eig.real < 0)
+
+
+def test_care_jittable_and_differentiable():
+    A, B, Q, R = _random_system(4, 2, 3)
+    f = jax.jit(lambda q_scale: care(jnp.asarray(A), jnp.asarray(B),
+                                     q_scale * jnp.asarray(Q),
+                                     jnp.asarray(R))[0, 0])
+    g = jax.grad(f)(1.0)
+    fd = (f(1.0 + 1e-5) - f(1.0 - 1e-5)) / 2e-5
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+# ---------- MPC wrapper ----------
+
+def test_mpc_wrapper_robot():
+    mpc = MPC(robot_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=2.0,
+              settings=SQPSettings(hessian="exact", max_iter=100, qp=QP))
+    mpc.set_static_parameters([2.0])
+    mpc.control_bounds([-1.5, -0.75], [1.5, 0.75])
+    mpc.initial_conditions([0.5, 0.5, 0.5])
+    mpc.x_guess([0.5, 0.5, 0.5])
+    sol = mpc.solve()
+    assert int(sol.status) == st.SOLVED
+    X = np.asarray(mpc.solution_x())
+    np.testing.assert_allclose(X[0], [0.5, 0.5, 0.5], atol=1e-6)
+    # interpolation: exact at nodes, smooth in between
+    t_nodes = mpc.tr.tau * 2.0
+    Xi = np.asarray(mpc.solution_x_at(t_nodes))
+    np.testing.assert_allclose(Xi, X, atol=1e-10)
+    xq = np.asarray(mpc.solution_x_at([0.123, 1.456]))
+    assert xq.shape == (2, 3)
+    u_mid = np.asarray(mpc.solution_u_at(1.0))
+    assert np.all(np.abs(u_mid[:, 0]) <= 1.5 + 1e-6)
+
+
+def test_mpc_wrapper_warm_start_resolve():
+    # cstr_control_test.cpp:137-183 pattern on the robot problem
+    mpc = MPC(robot_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=2.0,
+              settings=SQPSettings(hessian="exact", max_iter=100, qp=QP))
+    mpc.set_static_parameters([2.0])
+    mpc.control_bounds([-1.5, -0.75], [1.5, 0.75])
+    mpc.initial_conditions([0.5, 0.5, 0.5])
+    mpc.x_guess([0.5, 0.5, 0.5])
+    cold = mpc.solve()
+    assert int(cold.status) == st.SOLVED
+    mpc.initial_conditions([0.51, 0.49, 0.5])
+    warm = mpc.solve()
+    assert int(warm.status) == st.SOLVED
+    assert int(warm.iters) <= int(cold.iters)
+
+
+def test_cstr_nmpc():
+    # CSTR setpoint stabilisation (cstr_control_test.cpp:137-183): 100 s
+    # horizon, 11 nodes; solve + warm-started re-solve must report SOLVED
+    mpc = MPC(cstr_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=100.0,
+              settings=SQPSettings(
+                  hessian="exact", max_iter=100,
+                  qp=ADMMSettings(rho=1.0, eps_abs=1e-5, eps_rel=1e-5,
+                                  max_epochs=40, equil_iters=4)),
+              x_scale=[2.0, 1.0, 100.0, 100.0], u_scale=[15.0, 2000.0])
+    mpc.control_bounds(CSTR_ULB, CSTR_UUB)
+    # physical state bounds keep Arrhenius terms finite during line search
+    mpc.state_bounds([0.0, 0.0, 50.0, 50.0], [6.0, 4.0, 150.0, 150.0])
+    mpc.initial_conditions(CSTR_X0)
+    mpc.x_guess(CSTR_X0)
+    mpc.u_guess([14.19, -1113.5])
+    sol = mpc.solve()
+    assert int(sol.status) == st.SOLVED
+    # cost cross-validated between exact and BFGS Hessian modes (12262.6)
+    np.testing.assert_allclose(float(sol.cost), 12262.6, rtol=1e-3)
+    # warm-started re-solve from a perturbed state
+    mpc.initial_conditions([1.1, 0.508, 100.5, 100.1])
+    warm = mpc.solve()
+    assert int(warm.status) == st.SOLVED
+    assert int(warm.iters) <= int(sol.iters)
