@@ -1,0 +1,97 @@
+"""Headline benchmark: batched kite path-following NMPC solves/s/chip.
+
+BASELINE.json north star: batched kite NMPF at >= 10k SQP-converged solves/s
+on a v5e-16 => 625 solves/s/chip.  This harness solves B independent
+augmented kite OCP instances (random initial conditions around the path) per
+jitted call on the default JAX device(s) and reports converged solves/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from polympc_tpu.basis import Chebyshev, SegmentedBasis
+    from polympc_tpu.control.nmpf import augment_ocp
+    from polympc_tpu.models import kite_dynamics, kite_output, kite_path
+    from polympc_tpu.nlp import SQPSettings
+    from polympc_tpu.ocp import transcribe, ocp_bounds
+    from polympc_tpu.parallel import make_batch_solver
+    from polympc_tpu.qp.types import ADMMSettings
+    from polympc_tpu.utils import status as st
+
+    dtype = jnp.float32  # TPU-native precision
+    B = 4096
+
+    ocp = augment_ocp(lambda x, u: kite_dynamics(x, u), kite_output,
+                      kite_path, nx=3, nu=1, ny=2)
+    mesh = SegmentedBasis(Chebyshev(5), 2)
+    tr = transcribe(ocp, mesh)
+    prm = tr.params(d=[0.05], t0=0.0, tf=2.0, dtype=dtype)
+    bounds = ocp_bounds(tr, ul=[-5.0, -10.0], uu=[5.0, 10.0],
+                        xl=[0.0, -np.pi / 2, -np.pi, -100.0, -100.0],
+                        xu=[np.pi / 2, np.pi / 2, np.pi, 100.0, 100.0],
+                        dtype=dtype)
+    # reference parity tolerances: SQP 1e-3 (sqp_base.hpp:29-30), inner QP
+    # 1e-4 (sqp_base.hpp:85-86)
+    settings = SQPSettings(
+        hessian="exact", max_iter=30,
+        eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
+        qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
+                        max_epochs=8, check_every=25, equil_iters=0))
+
+    solve = make_batch_solver(tr, bounds, prm, settings)
+
+    rng = np.random.default_rng(0)
+    s0 = rng.uniform(0.0, 2 * np.pi, B)
+    theta0 = np.pi / 6 + 0.2 * np.sin(2 * s0) + rng.normal(0, 0.05, B)
+    phi0 = 0.8 * np.cos(s0) + rng.normal(0, 0.05, B)
+    gamma0 = rng.uniform(-0.5, 0.5, B)
+    x0s = jnp.asarray(
+        np.stack([np.clip(theta0, 0.05, 1.5), np.clip(phi0, -1.5, 1.5),
+                  gamma0, s0, np.full(B, 0.05)], axis=1), dtype)
+
+    # dynamics-rollout initial guess (jitted; part of the timed solve cost)
+    rollout = jax.jit(jax.vmap(lambda x0: tr.rollout_guess(x0, prm)))
+
+    # warmup / compile
+    z0s = rollout(x0s)
+    sols = solve(x0s, z0s)
+    jax.block_until_ready(sols.x)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        z0s = rollout(x0s)
+        sols = solve(x0s, z0s)
+        jax.block_until_ready(sols.x)
+    dt = (time.perf_counter() - t0) / reps
+
+    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    solves_per_s = solved / dt
+    per_chip = solves_per_s / max(1, len(jax.devices()))
+
+    # north star: 10k solves/s on 16 chips -> 625 /s/chip
+    print(json.dumps({
+        "metric": "kite_nmpf_converged_solves_per_s_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "solves/s/chip",
+        "vs_baseline": round(per_chip / 625.0, 4),
+        "extra": {
+            "batch": B, "solved": solved, "wall_s_per_batch": round(dt, 4),
+            "devices": len(jax.devices()),
+            "platform": jax.default_backend(),
+            "mean_sqp_iters": float(np.asarray(sols.iters).mean()),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

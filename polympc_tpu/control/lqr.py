@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from polympc_tpu.utils.precision import full_precision
+
 __all__ = ["lyapunov", "care", "lqr", "pinv"]
 
 
@@ -34,6 +36,7 @@ def pinv(a, eps: float = 1e-9):
     return (vt.T * s_inv) @ u.T
 
 
+@full_precision
 def lyapunov(A, Q):
     """Solve the continuous Lyapunov equation  A' P + P A + Q = 0  for P.
 
@@ -52,6 +55,7 @@ def _care_residual(P, A, B, Q, R_inv):
     return A.T @ P + P @ A - P @ B @ R_inv @ B.T @ P + Q
 
 
+@full_precision
 def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None):
     """Continuous algebraic Riccati equation:
         A'P + PA - P B R^{-1} B' P + Q = 0
@@ -96,6 +100,7 @@ def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None):
     return P
 
 
+@full_precision
 def lqr(A, B, Q, R, M=None, num_newton: int = 30):
     """Infinite-horizon continuous LQR gain (ref: lqr.hpp:193-229).
 

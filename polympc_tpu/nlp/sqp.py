@@ -28,6 +28,7 @@ from polympc_tpu.nlp.hessian import bfgs_update, regularize
 from polympc_tpu.qp.types import QPData
 from polympc_tpu.qp.box_admm import box_admm_solve
 from polympc_tpu.utils import status as st
+from polympc_tpu.utils.precision import full_precision
 
 __all__ = ["sqp_solve"]
 
@@ -67,6 +68,7 @@ def _violation_inf(c, cl, cu, x, lbx, ubx):
     return jnp.maximum(vc, vx)
 
 
+@full_precision
 def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
               lam0=None, settings: SQPSettings = SQPSettings()) -> SQPSolution:
     """Solve the NLP from initial guess x0.  Pure function: jit/vmap-safe.

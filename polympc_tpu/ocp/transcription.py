@@ -31,6 +31,7 @@ import numpy as np
 from polympc_tpu.basis.basis import SegmentedBasis
 from polympc_tpu.nlp.types import NLP, NLPBounds
 from polympc_tpu.ocp.ocp import OCP
+from polympc_tpu.utils.precision import full_precision
 
 __all__ = ["Transcription", "transcribe", "split_z", "pack_z"]
 
@@ -103,6 +104,44 @@ class Transcription:
         return (X * jnp.asarray(self.x_scale),
                 U * jnp.asarray(self.u_scale),
                 P * jnp.asarray(self.p_scale))
+
+    def rollout_guess(self, x0, prm, U=None, substeps: int = 4):
+        """Initial guess by RK4 rollout of the dynamics through the time grid
+        (far better than a constant guess for drift-dominated systems).
+
+        x0 physical (nx,); U physical (N, nu) or None (zeros); returns packed
+        scaled z.  jnp-traceable and vmappable over x0/U.
+        """
+        ocp, N = self.ocp, self.N
+        dtype = jnp.asarray(x0).dtype
+        tgrid = prm["t0"] + (prm["tf"] - prm["t0"]) * jnp.asarray(
+            self.tau, dtype)
+        if U is None:
+            U = jnp.zeros((N, ocp.nu), dtype)
+        P = prm["p"]
+        d = prm["d"]
+
+        def f(x, u, t):
+            return ocp.dynamics(x, u, P, d, t)
+
+        def step(x, args):
+            t0_, t1_, u = args
+            h = (t1_ - t0_) / substeps
+
+            def sub(x, k):
+                t = t0_ + h * k
+                k1 = f(x, u, t)
+                k2 = f(x + 0.5 * h * k1, u, t + 0.5 * h)
+                k3 = f(x + 0.5 * h * k2, u, t + 0.5 * h)
+                k4 = f(x + h * k3, u, t + h)
+                return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+            x, _ = jax.lax.scan(sub, x, jnp.arange(substeps, dtype=dtype))
+            return x, x
+
+        _, X_tail = jax.lax.scan(
+            step, jnp.asarray(x0, dtype), (tgrid[:-1], tgrid[1:], U[:-1]))
+        X = jnp.concatenate([jnp.asarray(x0, dtype)[None], X_tail], axis=0)
+        return self.pack(X, U, P if ocp.np_ else None)
 
     def params(self, p=None, d=None, t0=0.0, tf=1.0, dtype=jnp.float64):
         return {

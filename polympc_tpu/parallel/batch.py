@@ -1,0 +1,84 @@
+"""Batched MPC solving: vmap over problem instances + mesh sharding.
+
+The batch axis is the parallelism axis the reference never had (SURVEY.md
+§2.3 P1/P2): B independent MPC instances (initial conditions / scenarios)
+solve in one vmapped SQP — per-instance iteration counts become masked,
+frozen lanes, and per-instance status arrays replace the status enum.
+
+Across chips, the batch axis is sharded over a 1-D ``jax.sharding.Mesh``
+("dp"); no cross-instance communication exists, so XLA inserts no
+collectives and scaling is embarrassingly parallel over ICI/DCN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from polympc_tpu.nlp.sqp import sqp_solve
+from polympc_tpu.nlp.types import NLPBounds, SQPSettings
+from polympc_tpu.ocp.transcription import Transcription
+
+__all__ = ["make_batch_solver", "batch_mesh", "shard_batch"]
+
+
+def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
+                      settings: SQPSettings, mesh: Optional[Mesh] = None):
+    """Build a jitted solver for a batch of initial conditions.
+
+    Returns solve(x0s (B,nx), z0s (B,n) | None, lam0s (B,m) | None)
+    -> batched SQPSolution.  Each instance pins its own x0 (the per-instance
+    analogue of MPC::initial_conditions); everything else is shared.
+
+    With a mesh, inputs/outputs are sharded over the batch ("dp") axis.
+    """
+    nx = tr.ocp.nx
+
+    def solve_one(x0, z0, lam0):
+        x0s = x0 / jnp.asarray(tr.x_scale, x0.dtype)
+        lbx = base_bounds.lbx.at[:nx].set(x0s)
+        ubx = base_bounds.ubx.at[:nx].set(x0s)
+        bounds = base_bounds._replace(lbx=lbx, ubx=ubx)
+        z0 = z0.at[:nx].set(x0s)
+        return sqp_solve(tr.nlp, z0, p=prm, bounds=bounds, lam0=lam0,
+                         settings=settings)
+
+    vsolve = jax.vmap(solve_one)
+
+    if mesh is None:
+        jitted = jax.jit(vsolve)
+    else:
+        spec = NamedSharding(mesh, P("dp"))
+        jitted = jax.jit(vsolve,
+                         in_shardings=(spec, spec, spec),
+                         out_shardings=NamedSharding(mesh, P("dp")))
+
+    def solve(x0s, z0s=None, lam0s=None):
+        B = x0s.shape[0]
+        if z0s is None:
+            z0s = jnp.tile(tr.initial_guess(dtype=x0s.dtype)[None], (B, 1))
+        if lam0s is None:
+            lam0s = jnp.zeros((B, tr.nlp.m), x0s.dtype)
+        if mesh is not None:
+            spec = NamedSharding(mesh, P("dp"))
+            x0s = jax.device_put(x0s, spec)
+            z0s = jax.device_put(z0s, spec)
+            lam0s = jax.device_put(lam0s, spec)
+        return jitted(x0s, z0s, lam0s)
+
+    return solve
+
+
+def batch_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or given) devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), axis_names=("dp",))
+
+
+def shard_batch(arr, mesh: Mesh):
+    """Place a batched array with its leading axis sharded over the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P("dp")))

@@ -40,6 +40,7 @@ from polympc_tpu.qp.types import (
 )
 from polympc_tpu.qp.ruiz import ruiz_equilibrate, RuizScaling
 from polympc_tpu.utils import status as st
+from polympc_tpu.utils.precision import full_precision
 
 __all__ = ["box_admm_solve", "admm_solve", "classify_constraints", "rho_vector"]
 
@@ -96,6 +97,7 @@ def _residuals(qp: QPData, x, z, q, y, yb):
     return r_prim, r_dual, prim_scale, dual_scale
 
 
+@full_precision
 def box_admm_solve(qp: QPData, x0=None, y0=None, y_box0=None,
                    settings: ADMMSettings = ADMMSettings()) -> QPSolution:
     """Solve the box-constrained QP.  Pure function: jit/vmap/grad-safe.
@@ -324,6 +326,7 @@ def _solve_vjp_fwd(settings, qp, x0, y0, yb0):
     return sol, (qp, sol)
 
 
+@full_precision
 def _solve_vjp_bwd(settings, res, cot: QPSolution):
     """Implicit differentiation of the QP solution map (OptNet-style).
 
