@@ -2,6 +2,14 @@ from polympc_tpu.ocp.ocp import OCP
 from polympc_tpu.ocp.transcription import (
     Transcription, transcribe, ocp_bounds, split_z, pack_z,
 )
+from polympc_tpu.ocp.integrators import (
+    rk4_step, rk4_integrate, implicit_integrate, ps_integrate,
+)
+from polympc_tpu.ocp.multiple_shooting import (
+    MSTranscription, transcribe_ms, ms_bounds,
+)
 
 __all__ = ["OCP", "Transcription", "transcribe", "ocp_bounds",
-           "split_z", "pack_z"]
+           "split_z", "pack_z",
+           "rk4_step", "rk4_integrate", "implicit_integrate", "ps_integrate",
+           "MSTranscription", "transcribe_ms", "ms_bounds"]

@@ -155,7 +155,8 @@ class Transcription:
 
 
 def transcribe(ocp: OCP, mesh: SegmentedBasis,
-               x_scale=None, u_scale=None, p_scale=None) -> Transcription:
+               x_scale=None, u_scale=None, p_scale=None,
+               soft_defects: float = 0.0) -> Transcription:
     """Build the collocation NLP for an OCP on the given multi-segment mesh.
 
     x_scale/u_scale/p_scale: optional per-variable scaling (physical value =
@@ -164,6 +165,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
     problems like the CSTR whose natural units span 5 orders of magnitude
     (the role of the scaling matrices in the reference's legacy layer,
     generic_ocp.hpp:88-120).
+
+    soft_defects > 0 moves the dynamics defects into the cost as a quadratic
+    penalty  soft_defects * ||defects||^2  instead of equality constraints —
+    the reference's SoftChebyshev transcription (chebyshev_soft.hpp:15-72).
     """
     N = mesh.num_nodes
     nx, nu, np_, ng = ocp.nx, ocp.nu, ocp.np_, ocp.ng
@@ -171,7 +176,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
     su = np.ones(nu) if u_scale is None else np.asarray(u_scale, np.float64)
     sp = np.ones(np_) if p_scale is None else np.asarray(p_scale, np.float64)
     n = N * (nx + nu) + np_
-    ne = N * nx
+    ne = 0 if soft_defects > 0.0 else N * nx
     ni = N * ng
 
     NS = mesh.num_segments
@@ -211,6 +216,9 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         t = _times(prm, z.dtype)
         d = prm["d"]
         total = jnp.zeros((), z.dtype)
+        if soft_defects > 0.0:
+            defects = eq_fn(z, prm)
+            total = total + soft_defects * (defects @ defects)
         if ocp.lagrange is not None:
             L = jax.vmap(lambda xk, uk, tk: ocp.lagrange(xk, uk, P, d, tk))(
                 X, U, t)
@@ -230,7 +238,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
                 X, U, t)
             return G.reshape(-1)
 
-    nlp = NLP(cost=cost_fn, n=n, eq=eq_fn, ne=ne,
+    nlp = NLP(cost=cost_fn, n=n,
+              eq=None if soft_defects > 0.0 else eq_fn, ne=ne,
               ineq=ineq_fn, ni=ni)
     return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
                          Dg_unit=Dg_unit, w_unit=w_unit, tau=tau,

@@ -200,3 +200,70 @@ def test_grad_through_solve():
     eps = 1e-4
     fd = (solve_x0(1.0 + eps) - solve_x0(1.0 - eps)) / (2 * eps)
     np.testing.assert_allclose(g, fd, atol=1e-3)
+
+
+# ---------- interior-point solver ----------
+
+def test_ip_simple_qp():
+    from polympc_tpu.qp.ip import qp_ip_solve, IPSettings
+    sol = qp_ip_solve(simple_qp())
+    assert int(sol.status) == st.SOLVED
+    np.testing.assert_allclose(np.asarray(sol.x), [0.3, 0.7], atol=1e-6)
+    assert float(sol.res_prim) < 1e-7 and float(sol.res_dual) < 1e-7
+
+
+def test_ip_matches_admm_duals():
+    from polympc_tpu.qp.ip import qp_ip_solve
+    qp = simple_qp()
+    ip = qp_ip_solve(qp)
+    ad = box_admm_solve(qp, settings=ADMMSettings(eps_abs=1e-8, eps_rel=1e-8,
+                                                  max_epochs=60))
+    np.testing.assert_allclose(np.asarray(ip.x), np.asarray(ad.x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ip.y), np.asarray(ad.y), atol=1e-4)
+
+
+def test_ip_random_qps():
+    from polympc_tpu.qp.ip import qp_ip_solve
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n, m = 10, 6
+        M = rng.normal(size=(n, n))
+        H = jnp.asarray(M @ M.T + 0.5 * np.eye(n))
+        h = jnp.asarray(rng.normal(size=n))
+        A = jnp.asarray(rng.normal(size=(m, n)))
+        x_feas = rng.normal(size=n) * 0.5
+        Ax = np.asarray(A) @ x_feas
+        qp = QPData(H, h, A,
+                    jnp.asarray(Ax - rng.uniform(0.1, 1.0, m)),
+                    jnp.asarray(Ax + rng.uniform(0.1, 1.0, m)),
+                    jnp.asarray(x_feas - rng.uniform(0.1, 2.0, n)),
+                    jnp.asarray(x_feas + rng.uniform(0.1, 2.0, n)))
+        sol = qp_ip_solve(qp)
+        assert int(sol.status) == st.SOLVED, f"trial {trial}"
+        _kkt_check(qp, sol, tol=1e-6)
+
+
+def test_ip_unbounded_directions_handled():
+    from polympc_tpu.qp.ip import qp_ip_solve
+    inf = jnp.inf
+    qp = QPData(H=jnp.array([[2.0, 0.0], [0.0, 2.0]]),
+                h=jnp.array([-2.0, -4.0]),
+                A=jnp.zeros((0, 2)), al=jnp.zeros(0), au=jnp.zeros(0),
+                xl=jnp.array([-inf, -inf]), xu=jnp.array([inf, inf]))
+    sol = qp_ip_solve(qp)
+    assert int(sol.status) == st.SOLVED
+    np.testing.assert_allclose(np.asarray(sol.x), [1.0, 2.0], atol=1e-7)
+
+
+def test_ip_vmap():
+    from polympc_tpu.qp.ip import qp_ip_solve
+    qp = simple_qp()
+    B = 8
+    hs = jnp.stack([qp.h * (1 + 0.1 * i) for i in range(B)])
+    batched = QPData(
+        H=jnp.broadcast_to(qp.H, (B, 2, 2)), h=hs,
+        A=jnp.broadcast_to(qp.A, (B, 1, 2)),
+        al=jnp.broadcast_to(qp.al, (B, 1)), au=jnp.broadcast_to(qp.au, (B, 1)),
+        xl=jnp.broadcast_to(qp.xl, (B, 2)), xu=jnp.broadcast_to(qp.xu, (B, 2)))
+    sols = jax.vmap(lambda q: qp_ip_solve(q))(batched)
+    assert np.all(np.asarray(sols.status) == st.SOLVED)
