@@ -61,13 +61,15 @@ class MPC:
         self._tf = jnp.asarray(tf, dtype)
         self._z = self.tr.initial_guess(dtype=dtype)
         self._lam = jnp.zeros(self.tr.nlp.m, dtype)
+        self._lam_box = jnp.zeros(self.tr.nlp.n, dtype)
         self._solution = None
 
         @jax.jit
-        def _solve(z0, lam0, lbx, ubx, gl, gu, prm):
+        def _solve(z0, lam0, lam_box0, lbx, ubx, gl, gu, prm):
             bounds = NLPBounds(lbx=lbx, ubx=ubx, gl=gl, gu=gu)
             return sqp_solve(self.tr.nlp, z0, p=prm, bounds=bounds,
-                             lam0=lam0, settings=self.settings)
+                             lam0=lam0, lam_box0=lam_box0,
+                             settings=self.settings)
         self._jitted_solve = _solve
 
     # ---- bound management (mpc_wrapper.hpp:103-181) ----
@@ -160,10 +162,12 @@ class MPC:
         gu = jnp.tile(self._gu[None], (N, 1)).reshape(-1)
         prm = {"p": jnp.zeros(self.ocp.np_, self.dtype), "d": self._d,
                "t0": self._t0, "tf": self._tf}
-        sol = self._jitted_solve(self._z, self._lam, lbx, ubx, gl, gu, prm)
+        sol = self._jitted_solve(self._z, self._lam, self._lam_box,
+                                 lbx, ubx, gl, gu, prm)
         self._solution = sol
         self._z = sol.x
         self._lam = sol.lam
+        self._lam_box = sol.lam_box
         return sol
 
     # ---- solution access (mpc_wrapper.hpp:230-295) ----

@@ -58,6 +58,12 @@ def regularize(H, mode: str, eps: float):
         lower = jnp.min(d - radii)
         shift = jnp.maximum(0.0, -lower + eps)
         return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
+    if mode == "ridge":
+        # fixed relative ridge: cheapest TPU option (no eigh, no row sums);
+        # right when H is already near-PSD (tracking costs, Gauss-Newton)
+        Hs = 0.5 * (H + H.T)
+        shift = eps * jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Hs))), 1.0)
+        return Hs + shift * jnp.eye(H.shape[0], dtype=H.dtype)
     if mode == "eigen":
         w, V = jnp.linalg.eigh(0.5 * (H + H.T))
         # relative floor: an absolute floor leaves the QP catastrophically

@@ -70,11 +70,15 @@ def _violation_inf(c, cl, cu, x, lbx, ubx):
 
 @full_precision
 def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
-              lam0=None, settings: SQPSettings = SQPSettings()) -> SQPSolution:
+              lam0=None, lam_box0=None,
+              settings: SQPSettings = SQPSettings()) -> SQPSolution:
     """Solve the NLP from initial guess x0.  Pure function: jit/vmap-safe.
 
     p: parameter pytree forwarded to all problem callables.
     lam0: optional warm start for the general-constraint duals.
+    lam_box0: optional warm start for the box duals — without it a re-solve
+    from a converged point restarts the box duals at zero and the
+    stationarity test only recovers at the line-search rate.
     """
     if not settings.validate():
         raise ValueError("invalid SQP settings")
@@ -86,8 +90,22 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
 
     cost_fn = lambda x: nlp.cost(x, p)
     con_fn = lambda x: _constraints(nlp, x, p)
-    grad_fn = jax.grad(cost_fn)
-    jac_fn = jax.jacfwd(con_fn)
+    grad_fn = (lambda x: nlp.cost_grad(x, p)) if nlp.cost_grad is not None \
+        else jax.grad(cost_fn)
+
+    if nlp.eq_jac is not None or nlp.ineq_jac is not None:
+        def jac_fn(x):
+            parts = []
+            if nlp.eq is not None:
+                parts.append(nlp.eq_jac(x, p) if nlp.eq_jac is not None
+                             else jax.jacfwd(lambda xx: nlp.eq(xx, p))(x))
+            if nlp.ineq is not None:
+                parts.append(nlp.ineq_jac(x, p) if nlp.ineq_jac is not None
+                             else jax.jacfwd(lambda xx: nlp.ineq(xx, p))(x))
+            return jnp.concatenate(parts, axis=0) if parts else \
+                jnp.zeros((0, n), x.dtype)
+    else:
+        jac_fn = jax.jacfwd(con_fn)
 
     def lag_grad(x, lam):
         # gradient of f + lam'c wrt x (box-dual term excluded: constant wrt x
@@ -98,13 +116,16 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         return g
 
     if settings.hessian == "exact":
-        def hess_fn(x, lam):
-            def lagr(xx):
-                val = cost_fn(xx)
-                if m:
-                    val = val + con_fn(xx) @ lam
-                return val
-            return jax.hessian(lagr)(x)
+        if nlp.lag_hessian is not None:
+            hess_fn = lambda x, lam: nlp.lag_hessian(x, lam, p)
+        else:
+            def hess_fn(x, lam):
+                def lagr(xx):
+                    val = cost_fn(xx)
+                    if m:
+                        val = val + con_fn(xx) @ lam
+                    return val
+                return jax.hessian(lagr)(x)
     elif settings.hessian == "gauss_newton":
         if nlp.gn_hessian is None:
             raise ValueError("hessian='gauss_newton' requires nlp.gn_hessian")
@@ -243,13 +264,15 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         return (~done) & (it < settings.max_iter)
 
     lam_init = (jnp.zeros(m, dt) if lam0 is None else lam0.astype(dt))
+    lam_box_init = (jnp.zeros(n, dt) if lam_box0 is None
+                    else lam_box0.astype(dt))
     # empty filter entries (f=+inf, v=0) accept everything
     filt_f0 = jnp.full(settings.filter_depth, jnp.inf, dt)
     filt_v0 = jnp.zeros(settings.filter_depth, dt)
     # project the initial guess into the box so all iterates stay feasible
     # with respect to the bounds (steps are clipped to the shifted box)
     x0 = jnp.clip(x0.astype(dt), bounds.lbx, bounds.ubx)
-    init = (x0.astype(dt), lam_init, jnp.zeros(n, dt),
+    init = (x0.astype(dt), lam_init, lam_box_init,
             jnp.eye(n, dtype=dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),

@@ -35,6 +35,13 @@ class NLP:
     ne: int = 0
     ni: int = 0
     gn_hessian: Optional[Callable] = None  # (x, p) -> (n, n) Gauss-Newton H
+    # optional structured derivative hooks (used by sqp_solve when present,
+    # replacing whole-vector jacfwd/hessian; collocation transcriptions
+    # provide block-structured implementations):
+    cost_grad: Optional[Callable] = None    # (x, p) -> (n,)
+    eq_jac: Optional[Callable] = None       # (x, p) -> (ne, n)
+    ineq_jac: Optional[Callable] = None     # (x, p) -> (ni, n)
+    lag_hessian: Optional[Callable] = None  # (x, lam, p) -> (n, n), lam (m,)
 
     def __post_init__(self):
         if (self.eq is None) != (self.ne == 0):
@@ -74,7 +81,7 @@ class SQPSettings:
     eps_viol: float = 1e-4     # max constraint violation at termination
     eps_stat: float = 1e-3     # Lagrangian-gradient (stationarity) tolerance
     hessian: str = "bfgs"      # "bfgs" | "exact" | "gauss_newton"
-    reg: str = "eigen"         # "none" | "gershgorin" | "eigen"
+    reg: str = "eigen"         # "none" | "gershgorin" | "eigen" | "ridge"
     reg_eps: float = 1e-6
     line_search: str = "merit"  # "merit" | "filter"
     merit_mu_safety: float = 1e-2   # mu = ||lam||_inf + safety
@@ -88,7 +95,7 @@ class SQPSettings:
         return (self.max_iter >= 1 and self.ls_max_iter >= 1
                 and 0 < self.tau < 1 and 0 < self.eta < 1
                 and self.hessian in ("bfgs", "exact", "gauss_newton")
-                and self.reg in ("none", "gershgorin", "eigen")
+                and self.reg in ("none", "gershgorin", "eigen", "ridge")
                 and self.line_search in ("merit", "filter")
                 and self.filter_depth >= 1)
 

@@ -238,9 +238,145 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
                 X, U, t)
             return G.reshape(-1)
 
+    # ---- structured derivatives ----
+    # The collocation NLP's derivative structure (continuous_ocp.hpp's sparse
+    # AD machinery, :796-1906) maps to dense-block assembly on TPU:
+    #   eq Jacobian   = kron(Dg, I_nx) - blockdiag(scale * df/d(x,u))
+    #                   + parameter arrow column;
+    #   Lagrangian Hessian = per-node (x_k,u_k,P) Hessian blocks (the cross-
+    #   node coupling Dg is linear, so it contributes nothing) assembled as
+    #   block-diagonal + P arrow.
+    # Per-node derivative work is O(N * (nx+nu+np)^2) instead of O(n^2) whole-
+    # vector AD.
+    KD = np.kron(Dg_unit, np.eye(nx))          # (N*nx, N*nx), static
+    q_xu = nx + nu
+    eyeN = np.eye(N)
+
+    def _node_parts(z, prm):
+        X, U, P = split_z(z, nx, nu, N, np_)   # scaled
+        t = _times(prm, z.dtype)
+        d = prm["d"]
+        return X, U, P, t, d
+
+    def _dyn_scaled(xs, us, Ps, d, tk, dtype):
+        """Scaled-variable dynamics: returns scale-free f~ = f(..)/sx."""
+        x = xs * jnp.asarray(sx, dtype)
+        u = us * jnp.asarray(su, dtype)
+        p = Ps * jnp.asarray(sp, dtype)
+        return ocp.dynamics(x, u, p, d, tk) / jnp.asarray(sx, dtype)
+
+    def eq_jac_fn(z, prm):
+        X, U, P, t, d = _node_parts(z, prm)
+        scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
+
+        jac = jax.vmap(
+            lambda xs, us, tk: jax.jacfwd(_dyn_scaled, argnums=(0, 1, 2))(
+                xs, us, P, d, tk, z.dtype))(X, U, t)
+        fx, fu, fp = jac            # (N,nx,nx), (N,nx,nu), (N,nx,np_)
+        # block-diagonal scatter via identity einsum (N small, dense is fine)
+        Jx = jnp.asarray(KD, z.dtype) - scale * jnp.einsum(
+            "kij,kl->kilj", fx, jnp.asarray(eyeN, z.dtype)).reshape(
+            N * nx, N * nx)
+        Ju = -scale * jnp.einsum(
+            "kij,kl->kilj", fu, jnp.asarray(eyeN, z.dtype)).reshape(
+            N * nx, N * nu)
+        cols = [Jx, Ju]
+        if np_:
+            cols.append(-scale * fp.reshape(N * nx, np_))
+        return jnp.concatenate(cols, axis=1)
+
+    def cost_grad_fn(z, prm):
+        return jax.grad(lambda zz: cost_fn(zz, prm))(z)
+
+    def _node_scalar(xs, us, Ps, d, tk, wk, lam_k, mu_k, is_last, prm, dtype):
+        """Per-node scalar whose Hessian is this node's Lagrangian block:
+        scale*w_k*L + lam_k'(-scale*f~) [+ Mayer at the last node]
+        [+ mu_k' g at the node]."""
+        scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
+        x = xs * jnp.asarray(sx, dtype)
+        u = us * jnp.asarray(su, dtype)
+        p = Ps * jnp.asarray(sp, dtype)
+        val = jnp.zeros((), dtype)
+        if ocp.lagrange is not None:
+            val = val + scale * wk * ocp.lagrange(x, u, p, d, tk)
+        f_t = ocp.dynamics(x, u, p, d, tk) / jnp.asarray(sx, dtype)
+        val = val - scale * (lam_k @ f_t)
+        if ocp.mayer is not None:
+            val = val + jnp.where(is_last, ocp.mayer(x, p, d),
+                                  jnp.zeros((), dtype))
+        if ocp.ineq is not None:
+            val = val + mu_k @ ocp.ineq(x, u, p, d, tk)
+        return val
+
+    def lag_hessian_fn(z, lam, prm):
+        """Dense Lagrangian Hessian from per-node blocks (vs whole-vector
+        jax.hessian: O(N q^2) instead of O(n^2) derivative passes)."""
+        X, U, P, t, d = _node_parts(z, prm)
+        dtype = z.dtype
+        lam_eq = lam[:ne].reshape(N, nx) if ne else jnp.zeros((N, nx), dtype)
+        mu = lam[ne:].reshape(N, ng) if ni else jnp.zeros((N, 0), dtype)
+        wk = jnp.asarray(w_unit, dtype)
+        is_last = jnp.arange(N) == N - 1
+
+        def node_h(xs, us, tk, w, lk, mk, last):
+            fun = lambda v: _node_scalar(
+                v[:nx], v[nx:q_xu], v[q_xu:], d, tk, w, lk, mk, last,
+                prm, dtype)
+            v0 = jnp.concatenate([xs, us, P])
+            return jax.hessian(fun)(v0)   # (q_xu+np_, q_xu+np_)
+
+        Hn = jax.vmap(node_h)(X, U, t, wk, lam_eq, mu, is_last)
+
+        Hxx = Hn[:, :nx, :nx]
+        Hxu = Hn[:, :nx, nx:q_xu]
+        Huu = Hn[:, nx:q_xu, nx:q_xu]
+        eN = jnp.asarray(eyeN, dtype)
+        XX = jnp.einsum("kij,kl->kilj", Hxx, eN).reshape(N * nx, N * nx)
+        XU = jnp.einsum("kij,kl->kilj", Hxu, eN).reshape(N * nx, N * nu)
+        UU = jnp.einsum("kij,kl->kilj", Huu, eN).reshape(N * nu, N * nu)
+        if np_:
+            Hxp = Hn[:, :nx, q_xu:].reshape(N * nx, np_)
+            Hup = Hn[:, nx:q_xu, q_xu:].reshape(N * nu, np_)
+            Hpp = jnp.sum(Hn[:, q_xu:, q_xu:], axis=0)
+            top = jnp.concatenate([XX, XU, Hxp], axis=1)
+            mid = jnp.concatenate([XU.T, UU, Hup], axis=1)
+            bot = jnp.concatenate([Hxp.T, Hup.T, Hpp], axis=1)
+            return jnp.concatenate([top, mid, bot], axis=0)
+        top = jnp.concatenate([XX, XU], axis=1)
+        mid = jnp.concatenate([XU.T, UU], axis=1)
+        return jnp.concatenate([top, mid], axis=0)
+
+    ineq_jac_fn = None
+    if ocp.ineq is not None:
+        def _ineq_scaled(xs, us, Ps, d, tk, dtype):
+            x = xs * jnp.asarray(sx, dtype)
+            u = us * jnp.asarray(su, dtype)
+            p = Ps * jnp.asarray(sp, dtype)
+            return ocp.ineq(x, u, p, d, tk)
+
+        def ineq_jac_fn(z, prm):
+            X, U, P, t, d = _node_parts(z, prm)
+            jac = jax.vmap(
+                lambda xs, us, tk: jax.jacfwd(
+                    _ineq_scaled, argnums=(0, 1, 2))(
+                    xs, us, P, d, tk, z.dtype))(X, U, t)
+            gx, gu, gp = jac
+            eN = jnp.asarray(eyeN, z.dtype)
+            Gx = jnp.einsum("kij,kl->kilj", gx, eN).reshape(N * ng, N * nx)
+            Gu = jnp.einsum("kij,kl->kilj", gu, eN).reshape(N * ng, N * nu)
+            cols = [Gx, Gu]
+            if np_:
+                cols.append(gp.reshape(N * ng, np_))
+            return jnp.concatenate(cols, axis=1)
+
+    soft = soft_defects > 0.0
     nlp = NLP(cost=cost_fn, n=n,
-              eq=None if soft_defects > 0.0 else eq_fn, ne=ne,
-              ineq=ineq_fn, ni=ni)
+              eq=None if soft else eq_fn, ne=ne,
+              ineq=ineq_fn, ni=ni,
+              cost_grad=None,
+              eq_jac=None if soft else eq_jac_fn,
+              ineq_jac=ineq_jac_fn,
+              lag_hessian=None if soft else lag_hessian_fn)
     return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
                          Dg_unit=Dg_unit, w_unit=w_unit, tau=tau,
                          x_scale=sx, u_scale=su, p_scale=sp)

@@ -30,22 +30,24 @@ def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
                       settings: SQPSettings, mesh: Optional[Mesh] = None):
     """Build a jitted solver for a batch of initial conditions.
 
-    Returns solve(x0s (B,nx), z0s (B,n) | None, lam0s (B,m) | None)
-    -> batched SQPSolution.  Each instance pins its own x0 (the per-instance
-    analogue of MPC::initial_conditions); everything else is shared.
+    Returns solve(x0s (B,nx), z0s (B,n) | None, lam0s (B,m) | None,
+    lam_box0s (B,n) | None) -> batched SQPSolution.  Each instance pins its
+    own x0 (the per-instance analogue of MPC::initial_conditions); everything
+    else is shared.  Feed a previous solution's x/lam/lam_box back in for
+    warm-started receding-horizon re-solves.
 
     With a mesh, inputs/outputs are sharded over the batch ("dp") axis.
     """
     nx = tr.ocp.nx
 
-    def solve_one(x0, z0, lam0):
+    def solve_one(x0, z0, lam0, lam_box0):
         x0s = x0 / jnp.asarray(tr.x_scale, x0.dtype)
         lbx = base_bounds.lbx.at[:nx].set(x0s)
         ubx = base_bounds.ubx.at[:nx].set(x0s)
         bounds = base_bounds._replace(lbx=lbx, ubx=ubx)
         z0 = z0.at[:nx].set(x0s)
         return sqp_solve(tr.nlp, z0, p=prm, bounds=bounds, lam0=lam0,
-                         settings=settings)
+                         lam_box0=lam_box0, settings=settings)
 
     vsolve = jax.vmap(solve_one)
 
@@ -54,21 +56,24 @@ def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
     else:
         spec = NamedSharding(mesh, P("dp"))
         jitted = jax.jit(vsolve,
-                         in_shardings=(spec, spec, spec),
+                         in_shardings=(spec, spec, spec, spec),
                          out_shardings=NamedSharding(mesh, P("dp")))
 
-    def solve(x0s, z0s=None, lam0s=None):
+    def solve(x0s, z0s=None, lam0s=None, lam_box0s=None):
         B = x0s.shape[0]
         if z0s is None:
             z0s = jnp.tile(tr.initial_guess(dtype=x0s.dtype)[None], (B, 1))
         if lam0s is None:
             lam0s = jnp.zeros((B, tr.nlp.m), x0s.dtype)
+        if lam_box0s is None:
+            lam_box0s = jnp.zeros((B, tr.nlp.n), x0s.dtype)
         if mesh is not None:
             spec = NamedSharding(mesh, P("dp"))
             x0s = jax.device_put(x0s, spec)
             z0s = jax.device_put(z0s, spec)
             lam0s = jax.device_put(lam0s, spec)
-        return jitted(x0s, z0s, lam0s)
+            lam_box0s = jax.device_put(lam_box0s, spec)
+        return jitted(x0s, z0s, lam0s, lam_box0s)
 
     return solve
 

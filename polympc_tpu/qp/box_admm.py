@@ -157,7 +157,12 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         x, z, q, y, yb, rho_base, epoch, done, rp, rd, div = carry
         rho, rb = make_rho(rho_base)
         kkt = _build_kkt(qp, rho, rb, settings.sigma)
-        fac = lu_factor(kkt)
+        if settings.kkt_solver == "inverse":
+            kkt_inv = jnp.linalg.inv(kkt)
+            solve_kkt = lambda rhs: kkt_inv @ rhs
+        else:
+            fac = lu_factor(kkt)
+            solve_kkt = lambda rhs: lu_solve(fac, rhs)
 
         def admm_iter(_, state):
             x, z, q, y, yb = state
@@ -166,7 +171,7 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
                 rhs = jnp.concatenate([rhs_top, z - y / rho])
             else:
                 rhs = rhs_top
-            sol = lu_solve(fac, rhs)
+            sol = solve_kkt(rhs)
             xt = sol[:n]
             if m:
                 nu = sol[n:]

@@ -65,6 +65,11 @@ class ADMMSettings:
     equil_iters: int = 0         # Ruiz equilibration iterations (0 = off)
     polish: bool = True          # active-set polish after ADMM (OSQP §5.5)
     polish_delta: float = 1e-8   # polish KKT regularisation
+    # "lu": factor + triangular solves (best on CPU).  "inverse": explicit
+    # KKT inverse once per epoch, iterations become batched matvecs — on TPU
+    # triangular solves are latency-bound scalar code while matmuls hit the
+    # MXU, so "inverse" is the TPU-native choice (polish restores accuracy).
+    kkt_solver: str = "lu"       # "lu" | "inverse"
 
     # constraint classification thresholds (ref: qp_base.hpp:124-222)
     loose_bound: float = 1e10

@@ -154,6 +154,23 @@ def test_mpc_wrapper_warm_start_resolve():
     assert int(warm.iters) <= int(cold.iters)
 
 
+def test_mpc_warm_start_carries_box_duals():
+    # regression: re-solving from the converged point with *default* QP
+    # settings must terminate immediately — a dropped lam_box warm start
+    # leaves a stationarity residual at the pinned-x0 entries that only
+    # decays at the line-search rate (observed: 50/50 MAX_ITER)
+    mpc = MPC(robot_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=2.0,
+              settings=SQPSettings(hessian="exact", max_iter=50))
+    mpc.set_static_parameters([2.0])
+    mpc.control_bounds([-1.5, -0.75], [1.5, 0.75])
+    mpc.initial_conditions([0.5, 0.5, 0.5])
+    cold = mpc.solve()
+    assert int(cold.status) == st.SOLVED
+    warm = mpc.solve()
+    assert int(warm.status) == st.SOLVED
+    assert int(warm.iters) <= 3
+
+
 def test_cstr_nmpc():
     # CSTR setpoint stabilisation (cstr_control_test.cpp:137-183): 100 s
     # horizon, 11 nodes; solve + warm-started re-solve must report SOLVED
