@@ -58,6 +58,14 @@ def main():
         np.stack([np.clip(theta0, 0.05, 1.5), np.clip(phi0, -1.5, 1.5),
                   gamma0, s0, np.full(B, 0.05)], axis=1), dtype)
 
+    # absorb the axon backend's one-time "first hard compile" init cost
+    # (observed 1-10 min, paid once per process for the first second-order-AD
+    # program) with a tiny unbatched compile, so the big batched compile
+    # below is seconds, not minutes
+    zw = jnp.zeros((tr.nlp.n,), dtype)
+    lw = jnp.zeros((tr.nlp.m,), dtype)
+    jax.block_until_ready(jax.jit(tr.nlp.lag_hessian)(zw, lw, prm))
+
     # dynamics-rollout initial guess (jitted; part of the timed solve cost)
     rollout = jax.jit(jax.vmap(lambda x0: tr.rollout_guess(x0, prm)))
 

@@ -125,7 +125,9 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
                     if m:
                         val = val + con_fn(xx) @ lam
                     return val
-                return jax.hessian(lagr)(x)
+                # jacfwd-of-grad (not jax.hessian): compiles orders of
+                # magnitude faster on TPU when this solver is vmapped
+                return jax.jacfwd(jax.grad(lagr))(x)
     elif settings.hessian == "gauss_newton":
         if nlp.gn_hessian is None:
             raise ValueError("hessian='gauss_newton' requires nlp.gn_hessian")

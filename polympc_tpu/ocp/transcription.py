@@ -323,7 +323,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
                 v[:nx], v[nx:q_xu], v[q_xu:], d, tk, w, lk, mk, last,
                 prm, dtype)
             v0 = jnp.concatenate([xs, us, P])
-            return jax.hessian(fun)(v0)   # (q_xu+np_, q_xu+np_)
+            # jacfwd-of-grad, NOT jax.hessian: jacrev's extra vmap layer
+            # makes the TPU compiler pathological under the node vmap
+            # (observed: 307 s vs 1.2 s compile for the kite model)
+            return jax.jacfwd(jax.grad(fun))(v0)   # (q_xu+np_, q_xu+np_)
 
         Hn = jax.vmap(node_h)(X, U, t, wk, lam_eq, mu, is_last)
 

@@ -1,0 +1,241 @@
+"""Batched LDL^T factor/solve Pallas kernels for ADMM KKT systems.
+
+The boxADMM KKT matrix  [[H + sigma*I + diag(rho_box), A'], [A, -diag(1/rho)]]
+(ref: box_admm.hpp:207-310) is symmetric *quasi-definite* by construction
+(sigma*I and -1/rho blocks), which licenses unpivoted LDL^T (Vanderbei 1995)
+— exactly why the reference can use Eigen's unpivoted SimplicialLDLT
+(box_admm.hpp:336-349).
+
+The TPU regime is the opposite of the reference's: not one sparse KKT per
+process but *thousands of small dense* KKT systems, one per vmapped MPC
+instance.  These kernels lay the batch along the TPU's 128-wide lane axis:
+
+  - matrices live as (K, K, B) tiles — element (i, j) of 128 instances is one
+    VPU vector — so the O(K^3) scalar factorization recurrence becomes K
+    symmetric rank-1 updates on (K, K, 128) VMEM-resident tiles, and every
+    lane factors a different problem instance;
+  - forward/backward substitution is column-oriented, sweeping rows of the
+    packed L^T storage, again one VPU vector per 128 instances;
+  - the factor never leaves VMEM between the factor and solve sweeps of one
+    ``ldlt_factor_solve`` call.
+
+Storage convention (packed, one square + one diagonal per instance):
+  F[i, k] = L[k, i]   for k > i     (L^T in the upper triangle)
+  d[i]    = D[i, i]                 (separate (K,) diagonal)
+  lower triangle of F = unspecified (never read)
+
+Public entry points take standard batch-major layout (B, K, K)/(B, K) and
+handle lane/sublane padding; the ``*_lanes`` variants take pre-transposed
+(K, K, B) tiles for callers (the fused ADMM kernel) that keep lane layout
+end-to-end.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ldlt_factor", "ldlt_solve", "ldlt_factor_solve"]
+
+LANES = 128
+
+
+def _auto_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (operate on (K, K, B) refs, B = lane-tile)
+# ---------------------------------------------------------------------------
+
+def _factor_body(m_ref, f_ref, d_ref):
+    K = m_ref.shape[0]
+    f_ref[...] = m_ref[...]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+    def step(i, _):
+        row = f_ref[pl.ds(i, 1), :, :][0]                     # (K, B)
+        d = jax.lax.dynamic_slice(row, (i, 0), (1, row.shape[1]))  # (1, B)
+        w = jnp.where(ks > i, row, 0.0)                       # trailing col
+        dinv = 1.0 / d
+        # symmetric trailing rank-1 update: F[j,k] -= w[j] w[k] / d  (j,k > i;
+        # w is zero at j <= i so the masked outer product is exact)
+        f_ref[...] = f_ref[...] - w[:, None, :] * (w * dinv)[None, :, :]
+        # pack L^T into row i: F[i,k] = M[i,k]/d for k > i
+        f_ref[pl.ds(i, 1), :, :] = jnp.where(ks > i, row * dinv, row)[None]
+        d_ref[pl.ds(i, 1), :] = d
+        return 0
+
+    jax.lax.fori_loop(0, K, step, 0)
+
+
+def _solve_sweeps(f_ref, d_ref, b):
+    """Forward + diagonal + backward substitution on one lane tile.
+
+    b: (K, B) value.  Returns x solving (L D L^T) x = b.
+    """
+    K = f_ref.shape[0]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+    # L y = b, column-oriented: after step j, y[:j+1] is final
+    def fwd(j, y):
+        yj = jax.lax.dynamic_slice(y, (j, 0), (1, y.shape[1]))
+        lrow = f_ref[pl.ds(j, 1), :, :][0]          # L[k,j] at entries k > j
+        return y - jnp.where(ks > j, lrow, 0.0) * yj
+
+    y = jax.lax.fori_loop(0, K, fwd, b)
+    y = y / d_ref[...]
+
+    # L^T x = y, row-oriented from the bottom: x[i] = y[i] - sum_{j>i} L[j,i] x[j]
+    def bwd(t, x):
+        i = K - 1 - t
+        lrow = f_ref[pl.ds(i, 1), :, :][0]
+        s = jnp.sum(jnp.where(ks > i, lrow * x, 0.0), axis=0, keepdims=True)
+        xi = jax.lax.dynamic_slice(y, (i, 0), (1, y.shape[1])) - s
+        return jax.lax.dynamic_update_slice(x, xi, (i, 0))
+
+    return jax.lax.fori_loop(0, K, bwd, y)
+
+
+def _solve_body(f_ref, d_ref, b_ref, x_ref):
+    x_ref[...] = _solve_sweeps(f_ref, d_ref, b_ref[...])
+
+
+def _factor_solve_body(m_ref, b_ref, x_ref, f_ref, d_ref):
+    _factor_body(m_ref, f_ref, d_ref)
+    x_ref[...] = _solve_sweeps(f_ref, d_ref, b_ref[...])
+
+
+# ---------------------------------------------------------------------------
+# lane-layout pallas_call wrappers: (K, K, B) / (K, B), K % 8 == 0, B % 128 == 0
+# ---------------------------------------------------------------------------
+
+def _spec_mat(K):
+    return pl.BlockSpec((K, K, LANES), lambda b: (0, 0, b),
+                        memory_space=pltpu.VMEM)
+
+
+def _spec_vec(K):
+    return pl.BlockSpec((K, LANES), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ldlt_factor_lanes(M, *, interpret=False):
+    """(K, K, B) -> packed factor F (K, K, B), diagonal d (K, B)."""
+    K, _, B = M.shape
+    return pl.pallas_call(
+        _factor_body,
+        grid=(B // LANES,),
+        in_specs=[_spec_mat(K)],
+        out_specs=(_spec_mat(K), _spec_vec(K)),
+        out_shape=(jax.ShapeDtypeStruct((K, K, B), M.dtype),
+                   jax.ShapeDtypeStruct((K, B), M.dtype)),
+        interpret=interpret,
+    )(M)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ldlt_solve_lanes(F, d, b, *, interpret=False):
+    """Packed factor (K, K, B), (K, B) + rhs (K, B) -> solution (K, B)."""
+    K, _, B = F.shape
+    return pl.pallas_call(
+        _solve_body,
+        grid=(B // LANES,),
+        in_specs=[_spec_mat(K), _spec_vec(K), _spec_vec(K)],
+        out_specs=_spec_vec(K),
+        out_shape=jax.ShapeDtypeStruct((K, B), F.dtype),
+        interpret=interpret,
+    )(F, d, b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ldlt_factor_solve_lanes(M, b, *, interpret=False):
+    """Fused factor + solve; also returns the factor for later re-solves."""
+    K, _, B = M.shape
+    x, F, d = pl.pallas_call(
+        _factor_solve_body,
+        grid=(B // LANES,),
+        in_specs=[_spec_mat(K), _spec_vec(K)],
+        out_specs=(_spec_vec(K), _spec_mat(K), _spec_vec(K)),
+        out_shape=(jax.ShapeDtypeStruct((K, B), M.dtype),
+                   jax.ShapeDtypeStruct((K, K, B), M.dtype),
+                   jax.ShapeDtypeStruct((K, B), M.dtype)),
+        interpret=interpret,
+    )(M, b)
+    return x, F, d
+
+
+# ---------------------------------------------------------------------------
+# batch-major public API: (B, K, K) / (B, K), arbitrary B and K
+# ---------------------------------------------------------------------------
+
+def _pad_lanes(M):
+    """(B, K, K) -> ((K', K', B'), K, B) lane layout with identity padding so
+    padded instances/rows factor cleanly (d = 1, no Inf/NaN in live lanes)."""
+    B, K, _ = M.shape
+    Kp, Bp = _round_up(K, 8), _round_up(B, LANES)
+    if Kp != K:
+        M = jnp.pad(M, ((0, 0), (0, Kp - K), (0, Kp - K)))
+        eye_tail = jnp.eye(Kp, dtype=M.dtype)[K:]
+        M = M.at[:, K:, :].set(eye_tail)
+    if Bp != B:
+        M = jnp.concatenate(
+            [M, jnp.broadcast_to(jnp.eye(Kp, dtype=M.dtype),
+                                 (Bp - B, Kp, Kp))], axis=0)
+    return jnp.moveaxis(M, 0, -1)
+
+
+def _pad_vec(v, Kp, Bp):
+    B, K = v.shape
+    v = jnp.pad(v, ((0, Bp - B), (0, Kp - K)))
+    return jnp.moveaxis(v, 0, -1)
+
+
+def ldlt_factor(M, *, interpret=None):
+    """Batched packed LDL^T of symmetric quasi-definite (B, K, K) matrices.
+
+    Returns (F, d): F (B, K', K') packed factor (K' = K rounded up to the
+    sublane multiple), d (B, K') diagonal — pass both to :func:`ldlt_solve`.
+    """
+    if interpret is None:
+        interpret = _auto_interpret()
+    B = M.shape[0]
+    F, d = ldlt_factor_lanes(_pad_lanes(M), interpret=interpret)
+    return jnp.moveaxis(F, -1, 0)[:B], jnp.moveaxis(d, -1, 0)[:B]
+
+
+def ldlt_solve(F, d, b, *, interpret=None):
+    """Solve (L D L^T) x = b for a batch: F,d from :func:`ldlt_factor`,
+    b (B, K) -> x (B, K)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B, K = b.shape
+    Kp, Bp = F.shape[1], _round_up(B, LANES)
+    Fl = jnp.moveaxis(jnp.pad(F, ((0, Bp - B), (0, 0), (0, 0))), 0, -1)
+    # padded instances got F=0, d=0 -> guard d to avoid 0/0 NaN debug-trips
+    dl = jnp.moveaxis(
+        jnp.pad(d, ((0, Bp - B), (0, 0)), constant_values=1.0), 0, -1)
+    bl = _pad_vec(b, Kp, Bp)
+    x = ldlt_solve_lanes(Fl, dl, bl, interpret=interpret)
+    return jnp.moveaxis(x, -1, 0)[:B, :K]
+
+
+def ldlt_factor_solve(M, b, *, interpret=None):
+    """Fused batched factor+solve: (B, K, K), (B, K) -> (x, F, d)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B, K = b.shape
+    Ml = _pad_lanes(M)
+    Kp = Ml.shape[0]
+    bl = _pad_vec(b, Kp, _round_up(B, LANES))
+    x, F, d = ldlt_factor_solve_lanes(Ml, bl, interpret=interpret)
+    return (jnp.moveaxis(x, -1, 0)[:B, :K],
+            jnp.moveaxis(F, -1, 0)[:B], jnp.moveaxis(d, -1, 0)[:B])

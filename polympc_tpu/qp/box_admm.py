@@ -97,6 +97,52 @@ def _residuals(qp: QPData, x, z, q, y, yb):
     return r_prim, r_dual, prim_scale, dual_scale
 
 
+@functools.lru_cache(maxsize=None)
+def _make_epoch_fn(sigma, alpha, iters):
+    """One ADMM epoch (fixed rho: ``iters`` iterations on a pre-built KKT)
+    as a ``custom_vmap`` function: solo/unvmapped calls run the LU path
+    below; under ``vmap`` (the batched-MPC hot path) the whole epoch runs as
+    the fused lane-batched Pallas kernel with the LDL^T factor VMEM-resident
+    (ops/admm_epoch.py)."""
+    from jax.custom_batching import custom_vmap
+    from polympc_tpu.ops.admm_epoch import admm_epoch_batched
+
+    @custom_vmap
+    def epoch(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
+        n, m = h.shape[0], al.shape[0]
+        fac = lu_factor(kkt)
+
+        def it(_, state):
+            x, z, q, y, yb = state
+            rhs_top = sigma * x + rb * q - yb - h
+            rhs = jnp.concatenate([rhs_top, z - y / rho]) if m else rhs_top
+            sol = lu_solve(fac, rhs)
+            xt = sol[:n]
+            x_new = alpha * xt + (1 - alpha) * x
+            q_u = alpha * xt + (1 - alpha) * q
+            q_new = jnp.clip(q_u + yb / rb, xl, xu)
+            yb_new = yb + rb * (q_u - q_new)
+            if m:
+                zt = z + (sol[n:] - y) / rho
+                z_u = alpha * zt + (1 - alpha) * z
+                z_new = jnp.clip(z_u + y / rho, al, au)
+                y_new = y + rho * (z_u - z_new)
+            else:
+                z_new, y_new = z, y
+            return x_new, z_new, q_new, y_new, yb_new
+
+        return jax.lax.fori_loop(0, iters, it, (x, z, q, y, yb))
+
+    @epoch.def_vmap
+    def _batched(axis_size, in_batched, *args):
+        args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        out = admm_epoch_batched(*args, sigma=sigma, alpha=alpha, iters=iters)
+        return out, (True,) * 5
+
+    return epoch
+
+
 @full_precision
 def box_admm_solve(qp: QPData, x0=None, y0=None, y_box0=None,
                    settings: ADMMSettings = ADMMSettings()) -> QPSolution:
@@ -157,41 +203,47 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         x, z, q, y, yb, rho_base, epoch, done, rp, rd, div = carry
         rho, rb = make_rho(rho_base)
         kkt = _build_kkt(qp, rho, rb, settings.sigma)
-        if settings.kkt_solver == "inverse":
-            kkt_inv = jnp.linalg.inv(kkt)
-            solve_kkt = lambda rhs: kkt_inv @ rhs
+        if settings.kkt_solver == "pallas":
+            ep = _make_epoch_fn(float(settings.sigma), float(settings.alpha),
+                                int(settings.check_every))
+            x2, z2, q2, y2, yb2 = ep(kkt, qp.h, qp.al, qp.au, qp.xl, qp.xu,
+                                     rho, rb, x, z, q, y, yb)
         else:
-            fac = lu_factor(kkt)
-            solve_kkt = lambda rhs: lu_solve(fac, rhs)
-
-        def admm_iter(_, state):
-            x, z, q, y, yb = state
-            rhs_top = settings.sigma * x + rb * q - yb - qp.h
-            if m:
-                rhs = jnp.concatenate([rhs_top, z - y / rho])
+            if settings.kkt_solver == "inverse":
+                kkt_inv = jnp.linalg.inv(kkt)
+                solve_kkt = lambda rhs: kkt_inv @ rhs
             else:
-                rhs = rhs_top
-            sol = solve_kkt(rhs)
-            xt = sol[:n]
-            if m:
-                nu = sol[n:]
-                zt = z + (nu - y) / rho
-            a = settings.alpha
-            x_new = a * xt + (1 - a) * x
-            # box split update: z_new = proj(u + y/rho), y_new = y + rho*(u - z_new)
-            q_u = a * xt + (1 - a) * q
-            q_new = jnp.clip(q_u + yb / rb, qp.xl, qp.xu)
-            yb_new = yb + rb * (q_u - q_new)
-            if m:
-                z_u = a * zt + (1 - a) * z
-                z_new = jnp.clip(z_u + y / rho, qp.al, qp.au)
-                y_new = y + rho * (z_u - z_new)
-            else:
-                z_new, y_new = z, y
-            return x_new, z_new, q_new, y_new, yb_new
+                fac = lu_factor(kkt)
+                solve_kkt = lambda rhs: lu_solve(fac, rhs)
 
-        x2, z2, q2, y2, yb2 = jax.lax.fori_loop(
-            0, settings.check_every, admm_iter, (x, z, q, y, yb))
+            def admm_iter(_, state):
+                x, z, q, y, yb = state
+                rhs_top = settings.sigma * x + rb * q - yb - qp.h
+                if m:
+                    rhs = jnp.concatenate([rhs_top, z - y / rho])
+                else:
+                    rhs = rhs_top
+                sol = solve_kkt(rhs)
+                xt = sol[:n]
+                if m:
+                    nu = sol[n:]
+                    zt = z + (nu - y) / rho
+                a = settings.alpha
+                x_new = a * xt + (1 - a) * x
+                # box split: z_new = proj(u + y/rho), y_new = y + rho*(u - z_new)
+                q_u = a * xt + (1 - a) * q
+                q_new = jnp.clip(q_u + yb / rb, qp.xl, qp.xu)
+                yb_new = yb + rb * (q_u - q_new)
+                if m:
+                    z_u = a * zt + (1 - a) * z
+                    z_new = jnp.clip(z_u + y / rho, qp.al, qp.au)
+                    y_new = y + rho * (z_u - z_new)
+                else:
+                    z_new, y_new = z, y
+                return x_new, z_new, q_new, y_new, yb_new
+
+            x2, z2, q2, y2, yb2 = jax.lax.fori_loop(
+                0, settings.check_every, admm_iter, (x, z, q, y, yb))
 
         # divergence guard: ill-conditioned or non-finite data can blow the
         # iteration up; freeze at the last finite state and report UNSOLVED

@@ -66,10 +66,12 @@ class ADMMSettings:
     polish: bool = True          # active-set polish after ADMM (OSQP §5.5)
     polish_delta: float = 1e-8   # polish KKT regularisation
     # "lu": factor + triangular solves (best on CPU).  "inverse": explicit
-    # KKT inverse once per epoch, iterations become batched matvecs — on TPU
-    # triangular solves are latency-bound scalar code while matmuls hit the
-    # MXU, so "inverse" is the TPU-native choice (polish restores accuracy).
-    kkt_solver: str = "lu"       # "lu" | "inverse"
+    # KKT inverse once per epoch, iterations become batched matvecs.
+    # "pallas": solo solves use the LU path, but under vmap (the batched-MPC
+    # hot path) each epoch runs as one fused lane-batched Pallas kernel —
+    # LDL^T factor + check_every iterations entirely in VMEM
+    # (ops/admm_epoch.py) — the TPU-native choice for large batches.
+    kkt_solver: str = "lu"       # "lu" | "inverse" | "pallas"
 
     # constraint classification thresholds (ref: qp_base.hpp:124-222)
     loose_bound: float = 1e10

@@ -1,0 +1,53 @@
+"""Horizon-partitioning (Schur condensation) parity tests on the fake mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from polympc_tpu.parallel.horizon import (
+    assemble_dense_horizon, horizon_mesh, schur_horizon_solve,
+)
+
+
+def _random_problem(S, k, p, seed):
+    rng = np.random.default_rng(seed)
+    Kh = rng.normal(size=(S, k, k))
+    K = Kh @ np.swapaxes(Kh, 1, 2) + 0.5 * np.eye(k)  # SPD local blocks
+    b = rng.normal(size=(S, k))
+    E = np.zeros((p, k))
+    F = np.zeros((p, k))
+    E[:, k - p:] = np.eye(p)      # tail states of segment i
+    F[:, :p] = -np.eye(p)         # minus head states of segment i+1
+    c = rng.normal(size=(S - 1, p)) * 0.1
+    return (jnp.asarray(K), jnp.asarray(b), jnp.asarray(E),
+            jnp.asarray(F), jnp.asarray(c))
+
+
+@pytest.mark.parametrize("S,k,p", [(4, 10, 3), (8, 17, 4), (2, 6, 2)])
+def test_schur_matches_dense(S, k, p):
+    K, b, E, F, c = _random_problem(S, k, p, seed=S * k)
+    w, mu = schur_horizon_solve(K, b, E, F, c)
+    w_ref, mu_ref = assemble_dense_horizon(K, b, E, F, c)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+
+
+def test_schur_sharded_matches_local():
+    S, k, p = 8, 12, 3
+    K, b, E, F, c = _random_problem(S, k, p, seed=1)
+    mesh = horizon_mesh(8)
+    w_sh, mu_sh = jax.jit(
+        lambda K, b, c: schur_horizon_solve(K, b, E, F, c, mesh=mesh))(K, b, c)
+    w, mu = schur_horizon_solve(K, b, E, F, c)
+    np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_sh), np.asarray(mu), atol=1e-8)
+
+
+def test_schur_continuity_satisfied():
+    # the solution must satisfy the continuity rows exactly
+    S, k, p = 6, 9, 3
+    K, b, E, F, c = _random_problem(S, k, p, seed=3)
+    w, _ = schur_horizon_solve(K, b, E, F, c)
+    res = jnp.einsum("pk,ik->ip", E, w[:-1]) \
+        + jnp.einsum("pk,ik->ip", F, w[1:]) - c
+    assert float(jnp.max(jnp.abs(res))) < 1e-8
