@@ -1,6 +1,6 @@
 from polympc_tpu.ocp.ocp import OCP
 from polympc_tpu.ocp.transcription import (
-    Transcription, transcribe, ocp_bounds, split_z, pack_z,
+    Transcription, transcribe, ocp_bounds, split_z, pack_z, SpectralOps,
 )
 from polympc_tpu.ocp.integrators import (
     rk4_step, rk4_integrate, implicit_integrate, ps_integrate,
@@ -10,6 +10,6 @@ from polympc_tpu.ocp.multiple_shooting import (
 )
 
 __all__ = ["OCP", "Transcription", "transcribe", "ocp_bounds",
-           "split_z", "pack_z",
+           "split_z", "pack_z", "SpectralOps",
            "rk4_step", "rk4_integrate", "implicit_integrate", "ps_integrate",
            "MSTranscription", "transcribe_ms", "ms_bounds"]

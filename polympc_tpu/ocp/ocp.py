@@ -32,7 +32,16 @@ class OCP:
     lagrange: Optional[Callable] = None   # (x, u, p, d, t) -> scalar
     mayer: Optional[Callable] = None      # (x, p, d) -> scalar (at t = tf)
     ineq: Optional[Callable] = None       # (x, u, p, d, t) -> (ng,)
+    # trajectory-level hooks: receive whole-horizon (X, U, P, d, t, ops)
+    # where ops carries the spectral derivative operators — the TPU-native
+    # form of GenericOCP's norm_diff/norm_ddiff/diff/ddiff rate-constraint
+    # and rate-regularisation machinery (generic_ocp.hpp:88-101)
+    trajectory_cost: Optional[Callable] = None   # (...) -> scalar
+    trajectory_ineq: Optional[Callable] = None   # (...) -> (ntg,)
+    ntg: int = 0
 
     def __post_init__(self):
         if (self.ineq is None) != (self.ng == 0):
             raise ValueError("ineq callable and ng must be consistent")
+        if (self.trajectory_ineq is None) != (self.ntg == 0):
+            raise ValueError("trajectory_ineq and ntg must be consistent")

@@ -23,6 +23,7 @@ The transcribed NLP's parameter pytree is
 from __future__ import annotations
 
 import dataclasses
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +34,18 @@ from polympc_tpu.nlp.types import NLP, NLPBounds
 from polympc_tpu.ocp.ocp import OCP
 from polympc_tpu.utils.precision import full_precision
 
-__all__ = ["Transcription", "transcribe", "split_z", "pack_z"]
+__all__ = ["Transcription", "transcribe", "split_z", "pack_z",
+           "SpectralOps"]
+
+
+class SpectralOps(NamedTuple):
+    """Spectral operators handed to trajectory-level OCP hooks: ``D`` is the
+    (N,N) physical-time differentiation matrix (D @ X ~= dX/dt at the
+    nodes), ``w`` the (N,) physical quadrature weights — the TPU form of
+    GenericOCP's diff/ddiff/norm_diff/norm_ddiff operators
+    (generic_ocp.hpp:88-101)."""
+    D: jnp.ndarray
+    w: jnp.ndarray
 
 
 def split_z(z, nx, nu, N, np_):
@@ -177,7 +189,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
     sp = np.ones(np_) if p_scale is None else np.asarray(p_scale, np.float64)
     n = N * (nx + nu) + np_
     ne = 0 if soft_defects > 0.0 else N * nx
-    ni = N * ng
+    ni = N * ng + ocp.ntg
 
     NS = mesh.num_segments
     # unit-segment composite operators: built once in numpy float64
@@ -193,6 +205,15 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         X, U, P = split_z(z, nx, nu, N, np_)
         return (X * jnp.asarray(sx, z.dtype), U * jnp.asarray(su, z.dtype),
                 P * jnp.asarray(sp, z.dtype))
+
+    def _spectral_ops(prm, dtype):
+        """Physical-time spectral operators handed to trajectory-level hooks
+        (the GenericOCP diff/ddiff operators, generic_ocp.hpp:88-101):
+        ops.D @ X ~= dX/dt at the nodes; ops.w are quadrature weights for
+        integral terms over [t0, tf]."""
+        scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
+        return SpectralOps(D=jnp.asarray(Dg_unit, dtype) / scale,
+                           w=scale * jnp.asarray(w_unit, dtype))
 
     def eq_fn(z, prm):
         """Collocation defects Dg@X~ - scale*f/sx at every node, row-major
@@ -226,17 +247,26 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             total = total + scale * (jnp.asarray(w_unit, z.dtype) @ L)
         if ocp.mayer is not None:
             total = total + ocp.mayer(X[-1], P, d)
+        if ocp.trajectory_cost is not None:
+            total = total + ocp.trajectory_cost(
+                X, U, P, d, t, _spectral_ops(prm, z.dtype))
         return total
 
     ineq_fn = None
-    if ocp.ineq is not None:
+    if ocp.ineq is not None or ocp.trajectory_ineq is not None:
         def ineq_fn(z, prm):
             X, U, P = _unscale(z)
             t = _times(prm, z.dtype)
             d = prm["d"]
-            G = jax.vmap(lambda xk, uk, tk: ocp.ineq(xk, uk, P, d, tk))(
-                X, U, t)
-            return G.reshape(-1)
+            rows = []
+            if ocp.ineq is not None:
+                G = jax.vmap(lambda xk, uk, tk: ocp.ineq(xk, uk, P, d, tk))(
+                    X, U, t)
+                rows.append(G.reshape(-1))
+            if ocp.trajectory_ineq is not None:
+                rows.append(ocp.trajectory_ineq(
+                    X, U, P, d, t, _spectral_ops(prm, z.dtype)))
+            return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
 
     # ---- structured derivatives ----
     # The collocation NLP's derivative structure (continuous_ocp.hpp's sparse
@@ -314,7 +344,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         X, U, P, t, d = _node_parts(z, prm)
         dtype = z.dtype
         lam_eq = lam[:ne].reshape(N, nx) if ne else jnp.zeros((N, nx), dtype)
-        mu = lam[ne:].reshape(N, ng) if ni else jnp.zeros((N, 0), dtype)
+        mu = lam[ne:ne + N * ng].reshape(N, ng) if ng \
+            else jnp.zeros((N, 0), dtype)
         wk = jnp.asarray(w_unit, dtype)
         is_last = jnp.arange(N) == N - 1
 
@@ -349,6 +380,35 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         mid = jnp.concatenate([XU.T, UU], axis=1)
         return jnp.concatenate([top, mid], axis=0)
 
+    if ocp.trajectory_cost is not None or ocp.trajectory_ineq is not None:
+        # trajectory-level terms couple nodes: add their exact (dense)
+        # Hessian on top of the block-structured node Hessian
+        _node_lag_hessian = lag_hessian_fn
+
+        def _traj_scalar(z, mu_t, prm):
+            X, U, P = _unscale(z)
+            t = _times(prm, z.dtype)
+            ops = _spectral_ops(prm, z.dtype)
+            val = jnp.zeros((), z.dtype)
+            if ocp.trajectory_cost is not None:
+                val = val + ocp.trajectory_cost(X, U, P, prm["d"], t, ops)
+            if ocp.trajectory_ineq is not None:
+                val = val + mu_t @ ocp.trajectory_ineq(X, U, P, prm["d"],
+                                                       t, ops)
+            return val
+
+        def lag_hessian_fn(z, lam, prm):   # noqa: F811
+            H = _node_lag_hessian(z, lam, prm)
+            mu_t = lam[ne + N * ng:]
+            Ht = jax.jacfwd(jax.grad(_traj_scalar))(z, mu_t, prm)
+            return H + Ht
+
+    def _traj_ineq_rows(z, prm):
+        X, U, P = _unscale(z)
+        t = _times(prm, z.dtype)
+        return ocp.trajectory_ineq(X, U, P, prm["d"], t,
+                                   _spectral_ops(prm, z.dtype))
+
     ineq_jac_fn = None
     if ocp.ineq is not None:
         def _ineq_scaled(xs, us, Ps, d, tk, dtype):
@@ -370,7 +430,14 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             cols = [Gx, Gu]
             if np_:
                 cols.append(gp.reshape(N * ng, np_))
-            return jnp.concatenate(cols, axis=1)
+            J = jnp.concatenate(cols, axis=1)
+            if ocp.trajectory_ineq is not None:
+                Jt = jax.jacfwd(_traj_ineq_rows)(z, prm)
+                J = jnp.concatenate([J, Jt], axis=0)
+            return J
+    elif ocp.trajectory_ineq is not None:
+        def ineq_jac_fn(z, prm):
+            return jax.jacfwd(_traj_ineq_rows)(z, prm)
 
     soft = soft_defects > 0.0
     nlp = NLP(cost=cost_fn, n=n,
@@ -388,6 +455,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
 def ocp_bounds(tr: Transcription,
                xl=None, xu=None, ul=None, uu=None, pl=None, pu=None,
                gl=None, gu=None, x0=None, xf=None,
+               tgl=None, tgu=None,
                dtype=jnp.float64) -> NLPBounds:
     """Assemble NLP box/row bounds from per-variable OCP bounds.
 
@@ -433,4 +501,7 @@ def ocp_bounds(tr: Transcription,
     gu_row = _fill(gu, ocp.ng, inf)
     GL = jnp.tile(gl_row[None, :], (N, 1)).reshape(-1)
     GU = jnp.tile(gu_row[None, :], (N, 1)).reshape(-1)
+    if ocp.ntg:
+        GL = jnp.concatenate([GL, _fill(tgl, ocp.ntg, -inf)])
+        GU = jnp.concatenate([GU, _fill(tgu, ocp.ntg, inf)])
     return NLPBounds(lbx=lbx, ubx=ubx, gl=GL, gu=GU)
