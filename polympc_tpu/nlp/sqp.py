@@ -206,12 +206,32 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             ok = ok_entries & ok_current
 
         first = jnp.argmax(ok)  # index of first acceptable trial
-        # fallback when nothing is acceptable: the least-bad finite trial
-        # (by merit for the l1 search, by violation for the filter)
-        score = (trial_f + trial_v) if settings.line_search == "filter" \
-            else phis
-        fallback = jnp.argmin(jnp.where(jnp.isfinite(score), score, jnp.inf))
+        # two-tier fallback when no trial meets the acceptance test:
+        #  1. a trial that at least PLAINLY improves (merit decrease / filter
+        #     cost-or-violation decrease) — handles Maratos-type rejections
+        #     where the sufficient-decrease margin is just missed;
+        #  2. otherwise the SMALLEST finite trial step (the reference
+        #     backtracks to tau^ls_max_iter, sqp_base.hpp:380-419).  Taking a
+        #     large "least-bad" step here instead lets an unconverged QP's
+        #     garbage direction drag the iterate away from the solution
+        #     (observed on identification problems with near-singular
+        #     constraint Jacobians).
+        finite = jnp.isfinite(trial_f) & jnp.isfinite(trial_v)
+        if settings.line_search == "merit":
+            improve = phis < phi0
+            score = phis
+        else:
+            improve = (trial_f < f0) | (trial_v < v0)
+            score = trial_f + trial_v
+        improve = improve & finite
+        best = jnp.argmin(jnp.where(improve, score, jnp.inf))
+        smallest = (settings.ls_max_iter - 1
+                    - jnp.argmax(jnp.flip(finite)).astype(jnp.int32))
+        fallback = jnp.where(jnp.any(improve), best,
+                             jnp.where(jnp.any(finite), smallest, 0))
         alpha = jnp.where(jnp.any(ok), alphas[first], alphas[fallback])
+        # if every trial is non-finite, stand still
+        alpha = jnp.where(jnp.any(finite), alpha, jnp.zeros((), dt))
 
         if settings.line_search == "filter":
             # augment the filter with the departed point when the accepted

@@ -8,8 +8,12 @@ from polympc_tpu.ocp.integrators import (
 from polympc_tpu.ocp.multiple_shooting import (
     MSTranscription, transcribe_ms, ms_bounds,
 )
+from polympc_tpu.ocp.identification import (
+    IdentificationResult, equation_error_fit, identify,
+)
 
 __all__ = ["OCP", "Transcription", "transcribe", "ocp_bounds",
            "split_z", "pack_z", "SpectralOps",
            "rk4_step", "rk4_integrate", "implicit_integrate", "ps_integrate",
-           "MSTranscription", "transcribe_ms", "ms_bounds"]
+           "MSTranscription", "transcribe_ms", "ms_bounds",
+           "IdentificationResult", "equation_error_fit", "identify"]

@@ -439,6 +439,13 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         def ineq_jac_fn(z, prm):
             return jax.jacfwd(_traj_ineq_rows)(z, prm)
 
+    def gn_hessian_fn(z, prm):
+        """Gauss-Newton Hessian: curvature of the cost only (constraint
+        curvature dropped) — the PSD model Hessian for tracking /
+        identification least-squares costs."""
+        m_total = ne + ni
+        return lag_hessian_fn(z, jnp.zeros(m_total, z.dtype), prm)
+
     soft = soft_defects > 0.0
     nlp = NLP(cost=cost_fn, n=n,
               eq=None if soft else eq_fn, ne=ne,
@@ -446,7 +453,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
               cost_grad=None,
               eq_jac=None if soft else eq_jac_fn,
               ineq_jac=ineq_jac_fn,
-              lag_hessian=None if soft else lag_hessian_fn)
+              lag_hessian=None if soft else lag_hessian_fn,
+              gn_hessian=gn_hessian_fn)
     return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
                          Dg_unit=Dg_unit, w_unit=w_unit, tau=tau,
                          x_scale=sx, u_scale=su, p_scale=sp)
