@@ -28,7 +28,8 @@ def main():
     from polympc_tpu.utils import status as st
 
     dtype = jnp.float32  # TPU-native precision
-    B = 4096
+    B = 256   # smaller batches win: the vmapped while_loop runs to the
+    # slowest instance, and straggler iteration counts grow with B
 
     ocp = augment_ocp(lambda x, u: kite_dynamics(x, u), kite_output,
                       kite_path, nx=3, nu=1, ny=2)
@@ -41,11 +42,20 @@ def main():
                         dtype=dtype)
     # reference parity tolerances: SQP 1e-3 (sqp_base.hpp:29-30), inner QP
     # 1e-4 (sqp_base.hpp:85-86)
+    # TPU-tuned solver configuration (measured on v5e, B=256..1024):
+    #   reg="mirror": Newton-Schulz eigenvalue mirroring — pure batched
+    #     matmuls, ~25x faster than the eigh-based "eigen" mode on TPU with
+    #     identical convergence (256/256);
+    #   kkt_solver="pallas": fused lane-batched factor+iterations epoch,
+    #     ~125x faster than the vmapped LU epoch;
+    #   4 epochs x 50 iterations: fewest factorisations that keep the inner
+    #     QP at 1e-4 (sweep: 8x25=301/s, 4x50=404/s, 2x100=269/s per chip).
     settings = SQPSettings(
-        hessian="exact", max_iter=30,
+        hessian="exact", max_iter=30, reg="mirror",
         eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
         qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
-                        max_epochs=8, check_every=25, equil_iters=0))
+                        max_epochs=4, check_every=50, equil_iters=0,
+                        kkt_solver="pallas"))
 
     solve = make_batch_solver(tr, bounds, prm, settings)
 

@@ -28,10 +28,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from polympc_tpu.ops.ldlt import (
-    LANES, _auto_interpret, _factor_body, _round_up, _solve_sweeps,
+    LANES, _COMPILER_PARAMS, _auto_interpret, _factor_body, _round_up,
+    _solve_sweeps, pallas_fits,
 )
 
-__all__ = ["admm_epoch_batched"]
+__all__ = ["admm_epoch_batched", "epoch_kernel_fits"]
+
+
+def epoch_kernel_fits(n: int, m: int) -> bool:
+    """True if the fused epoch kernel's VMEM working set fits for this
+    problem size (one aliased (K,K,128) block + state vectors)."""
+    n8 = _round_up(max(n, 8), 8)
+    m8 = _round_up(m, 8) if m else 0
+    # in-flight blocks: kkt in + factor out, double-buffered across grid steps
+    return pallas_fits(n8 + m8, n_mats=4)
 
 
 def _epoch_body_with_m(n8, m8, sigma, alpha, iters,
@@ -39,6 +49,10 @@ def _epoch_body_with_m(n8, m8, sigma, alpha, iters,
                        rho_ref, rb_ref, x_ref, z_ref, q_ref, y_ref, yb_ref,
                        xo_ref, zo_ref, qo_ref, yo_ref, ybo_ref,
                        f_scr, d_scr):
+    # f_scr is an OUTPUT ref aliased onto the kkt input buffer
+    # (input_output_aliases): the factor overwrites the KKT in place.
+    # (an explicit-inverse variant was measured SLOWER: the O(K) block-FMA
+    # inverse costs more FLOPs than the latency-bound sweeps it replaces)
     _factor_body(kkt_ref, f_scr, d_scr)
     h, rb = h_ref[...], rb_ref[...]
     xl, xu = xl_ref[...], xu_ref[...]
@@ -74,6 +88,7 @@ def _epoch_body_no_m(sigma, alpha, iters,
                      kkt_ref, h_ref, xl_ref, xu_ref, rb_ref,
                      x_ref, q_ref, yb_ref,
                      xo_ref, qo_ref, ybo_ref, f_scr, d_scr):
+    # f_scr: output ref aliased onto kkt (see _epoch_body_with_m)
     _factor_body(kkt_ref, f_scr, d_scr)
     h, rb = h_ref[...], rb_ref[...]
     xl, xu = xl_ref[...], xu_ref[...]
@@ -93,13 +108,13 @@ def _epoch_body_no_m(sigma, alpha, iters,
     xo_ref[...], qo_ref[...], ybo_ref[...] = x, q, yb
 
 
-def _mat_spec(K):
-    return pl.BlockSpec((K, K, LANES), lambda b: (0, 0, b),
+def _mat_spec(K, lanes):
+    return pl.BlockSpec((K, K, lanes), lambda b: (0, 0, b),
                         memory_space=pltpu.VMEM)
 
 
-def _vec_spec(K):
-    return pl.BlockSpec((K, LANES), lambda b: (0, b),
+def _vec_spec(K, lanes):
+    return pl.BlockSpec((K, lanes), lambda b: (0, b),
                         memory_space=pltpu.VMEM)
 
 
@@ -172,7 +187,8 @@ def admm_epoch_batched(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb,
     rbl = prep_n(rb, 1.0)
     xl_, ql_, ybl = prep_n(x, 0.0), prep_n(q, 0.0), prep_n(yb, 0.0)
 
-    scratch = [pltpu.VMEM((Kp, Kp, LANES), dt), pltpu.VMEM((Kp, LANES), dt)]
+    lanes = LANES
+    scratch = [pltpu.VMEM((Kp, lanes), dt)]
 
     if m:
         all_, aul = prep_m(al, -inf), prep_m(au, inf)
@@ -182,40 +198,47 @@ def admm_epoch_batched(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb,
             _epoch_body_with_m, n8, m8, sigma, alpha, iters)
         outs = pl.pallas_call(
             body,
-            grid=(Bp // LANES,),
-            in_specs=[_mat_spec(Kp),
-                      _vec_spec(n8),                   # h
-                      _vec_spec(m8), _vec_spec(m8),    # al, au
-                      _vec_spec(n8), _vec_spec(n8),    # xl, xu
-                      _vec_spec(m8), _vec_spec(n8),    # rho, rb
-                      _vec_spec(n8), _vec_spec(m8),    # x, z
-                      _vec_spec(n8), _vec_spec(m8),    # q, y
-                      _vec_spec(n8)],                  # yb
-            out_specs=(_vec_spec(n8), _vec_spec(m8), _vec_spec(n8),
-                       _vec_spec(m8), _vec_spec(n8)),
+            grid=(Bp // lanes,),
+            in_specs=[_mat_spec(Kp, lanes),
+                      _vec_spec(n8, lanes),                          # h
+                      _vec_spec(m8, lanes), _vec_spec(m8, lanes),    # al, au
+                      _vec_spec(n8, lanes), _vec_spec(n8, lanes),    # xl, xu
+                      _vec_spec(m8, lanes), _vec_spec(n8, lanes),    # rho, rb
+                      _vec_spec(n8, lanes), _vec_spec(m8, lanes),    # x, z
+                      _vec_spec(n8, lanes), _vec_spec(m8, lanes),    # q, y
+                      _vec_spec(n8, lanes)],                         # yb
+            out_specs=(_vec_spec(n8, lanes), _vec_spec(m8, lanes),
+                       _vec_spec(n8, lanes), _vec_spec(m8, lanes),
+                       _vec_spec(n8, lanes), _mat_spec(Kp, lanes)),
             out_shape=(jax.ShapeDtypeStruct((n8, Bp), dt),
                        jax.ShapeDtypeStruct((m8, Bp), dt),
                        jax.ShapeDtypeStruct((n8, Bp), dt),
                        jax.ShapeDtypeStruct((m8, Bp), dt),
-                       jax.ShapeDtypeStruct((n8, Bp), dt)),
+                       jax.ShapeDtypeStruct((n8, Bp), dt),
+                       jax.ShapeDtypeStruct((Kp, Kp, Bp), dt)),
+            input_output_aliases={0: 5},   # kkt buffer reused as the factor
             scratch_shapes=scratch,
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(kkt_l, hl, all_, aul, xll, xul, rhol, rbl,
           xl_, zl, ql_, yl, ybl)
-        xo, zo, qo, yo, ybo = outs
+        xo, zo, qo, yo, ybo, _ = outs
         unvec_n = lambda v: jnp.moveaxis(v, -1, 0)[:B, :n]
         unvec_m = lambda v: jnp.moveaxis(v, -1, 0)[:B, :m]
         return (unvec_n(xo), unvec_m(zo), unvec_n(qo),
                 unvec_m(yo), unvec_n(ybo))
 
     body = functools.partial(_epoch_body_no_m, sigma, alpha, iters)
-    xo, qo, ybo = pl.pallas_call(
+    xo, qo, ybo, _ = pl.pallas_call(
         body,
-        grid=(Bp // LANES,),
-        in_specs=[_mat_spec(Kp)] + [_vec_spec(n8)] * 7,
-        out_specs=(_vec_spec(n8),) * 3,
-        out_shape=(jax.ShapeDtypeStruct((n8, Bp), dt),) * 3,
+        grid=(Bp // lanes,),
+        in_specs=[_mat_spec(Kp, lanes)] + [_vec_spec(n8, lanes)] * 7,
+        out_specs=(_vec_spec(n8, lanes),) * 3 + (_mat_spec(Kp, lanes),),
+        out_shape=(jax.ShapeDtypeStruct((n8, Bp), dt),) * 3
+        + (jax.ShapeDtypeStruct((Kp, Kp, Bp), dt),),
+        input_output_aliases={0: 3},
         scratch_shapes=scratch,
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(kkt_l, hl, xll, xul, rbl, xl_, ql_, ybl)
     unvec_n = lambda v: jnp.moveaxis(v, -1, 0)[:B, :n]

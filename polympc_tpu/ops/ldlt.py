@@ -42,6 +42,19 @@ __all__ = ["ldlt_factor", "ldlt_solve", "ldlt_factor_solve"]
 
 LANES = 128
 
+# Per-kernel VMEM ceiling requested from the Mosaic compiler.  The default
+# scoped-VMEM limit is 16 MB, which a (K,K,128) KKT tile already exceeds for
+# K ~ 136 (kite NMPF); v5e has 128 MB of VMEM per core, so requesting 100 MB
+# for these single-grid-dimension kernels is safe and lets the factor stay
+# resident.
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+
+# conservative planning budget for pallas_fits: the Mosaic accounting charges
+# input AND output matrix blocks (aliasing does not merge the VMEM windows)
+# and double-buffers across grid steps -> ~4 matrix blocks in flight
+_VMEM_BUDGET_BYTES = 88 * 1024 * 1024
+
 
 def _auto_interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -49,6 +62,16 @@ def _auto_interpret() -> bool:
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def pallas_fits(K: int, n_mats: int = 4, n_vecs: int = 48,
+                bytes_per: int = 4) -> bool:
+    """True if a kernel whose in-flight working set is n_mats (K,K,128)
+    blocks + n_vecs (K,128) vectors fits the requested VMEM ceiling.  Pallas
+    TPU requires 128-wide lane blocks, so when this is False callers must
+    fall back to the XLA (LU) path — there is no narrower-tile escape hatch."""
+    per_lane = (n_mats * K * K + n_vecs * K) * bytes_per
+    return per_lane * LANES <= _VMEM_BUDGET_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +85,9 @@ def _factor_body(m_ref, f_ref, d_ref):
 
     def step(i, _):
         row = f_ref[pl.ds(i, 1), :, :][0]                     # (K, B)
-        d = jax.lax.dynamic_slice(row, (i, 0), (1, row.shape[1]))  # (1, B)
+        # masked reduction instead of dynamic_slice on a value: Pallas TPU
+        # lowering supports pl.ds on refs but not lax.dynamic_slice on values
+        d = jnp.sum(jnp.where(ks == i, row, 0.0), axis=0, keepdims=True)
         w = jnp.where(ks > i, row, 0.0)                       # trailing col
         dinv = 1.0 / d
         # symmetric trailing rank-1 update: F[j,k] -= w[j] w[k] / d  (j,k > i;
@@ -84,9 +109,11 @@ def _solve_sweeps(f_ref, d_ref, b):
     K = f_ref.shape[0]
     ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
 
-    # L y = b, column-oriented: after step j, y[:j+1] is final
+    # L y = b, column-oriented: after step j, y[:j+1] is final.
+    # (masked row-select/insert throughout: lax.dynamic_slice/_update_slice
+    # on values have no Pallas TPU lowering)
     def fwd(j, y):
-        yj = jax.lax.dynamic_slice(y, (j, 0), (1, y.shape[1]))
+        yj = jnp.sum(jnp.where(ks == j, y, 0.0), axis=0, keepdims=True)
         lrow = f_ref[pl.ds(j, 1), :, :][0]          # L[k,j] at entries k > j
         return y - jnp.where(ks > j, lrow, 0.0) * yj
 
@@ -98,10 +125,54 @@ def _solve_sweeps(f_ref, d_ref, b):
         i = K - 1 - t
         lrow = f_ref[pl.ds(i, 1), :, :][0]
         s = jnp.sum(jnp.where(ks > i, lrow * x, 0.0), axis=0, keepdims=True)
-        xi = jax.lax.dynamic_slice(y, (i, 0), (1, y.shape[1])) - s
-        return jax.lax.dynamic_update_slice(x, xi, (i, 0))
+        yi = jnp.sum(jnp.where(ks == i, y, 0.0), axis=0, keepdims=True)
+        return jnp.where(ks == i, yi - s, x)
 
     return jax.lax.fori_loop(0, K, bwd, y)
+
+
+def _inverse_sweeps(f_ref, d_ref, inv_ref):
+    """Explicit inverse of (L D L^T) into inv_ref (K, K, B): block-RHS
+    forward/backward substitution on the identity, all K columns at once.
+
+    Each sweep step is a (K, K, lanes) fused multiply-add — dense VPU work —
+    instead of the (K, lanes) vector ops of :func:`_solve_sweeps`; callers
+    that apply the factor many times (the fused ADMM epoch) turn their
+    per-iteration triangular sweeps (2K latency-bound steps) into a single
+    matvec against this inverse.
+    """
+    K = f_ref.shape[0]
+    ks = jax.lax.broadcasted_iota(jnp.int32, (K, 1, 1), 0)
+    B = inv_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (K, K, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (K, K, B), 1)
+    inv_ref[...] = jnp.where(rows == cols, 1.0, 0.0).astype(
+        inv_ref.dtype)  # identity per lane
+
+    def fwd(j, _):
+        y = inv_ref[...]
+        yj = jnp.sum(jnp.where(ks == j, y, 0.0), axis=0, keepdims=True)
+        lcol = f_ref[pl.ds(j, 1), :, :][0]            # (K, B): L[k,j], k > j
+        mask = jnp.where(ks[:, 0, :] > j, lcol, 0.0)  # (K, B)
+        inv_ref[...] = y - mask[:, None, :] * yj
+        return 0
+
+    jax.lax.fori_loop(0, K, fwd, 0)
+    inv_ref[...] = inv_ref[...] / d_ref[...][:, None, :]
+
+    def bwd(t, _):
+        i = K - 1 - t
+        x = inv_ref[...]
+        lcol = f_ref[pl.ds(i, 1), :, :][0]
+        contrib = jnp.sum(
+            jnp.where(ks > i, lcol[:, None, :] * x, 0.0), axis=0,
+            keepdims=True)
+        xi = jnp.sum(jnp.where(ks == i, x, 0.0), axis=0, keepdims=True) \
+            - contrib
+        inv_ref[...] = jnp.where(ks == i, xi, x)
+        return 0
+
+    jax.lax.fori_loop(0, K, bwd, 0)
 
 
 def _solve_body(f_ref, d_ref, b_ref, x_ref):
@@ -117,27 +188,31 @@ def _factor_solve_body(m_ref, b_ref, x_ref, f_ref, d_ref):
 # lane-layout pallas_call wrappers: (K, K, B) / (K, B), K % 8 == 0, B % 128 == 0
 # ---------------------------------------------------------------------------
 
-def _spec_mat(K):
-    return pl.BlockSpec((K, K, LANES), lambda b: (0, 0, b),
+def _spec_mat(K, lanes=LANES):
+    return pl.BlockSpec((K, K, lanes), lambda b: (0, 0, b),
                         memory_space=pltpu.VMEM)
 
 
-def _spec_vec(K):
-    return pl.BlockSpec((K, LANES), lambda b: (0, b),
+def _spec_vec(K, lanes=LANES):
+    return pl.BlockSpec((K, lanes), lambda b: (0, b),
                         memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ldlt_factor_lanes(M, *, interpret=False):
-    """(K, K, B) -> packed factor F (K, K, B), diagonal d (K, B)."""
+    """(K, K, B) -> packed factor F (K, K, B), diagonal d (K, B).
+    The factor output aliases the input buffer (in-place in VMEM)."""
     K, _, B = M.shape
+    lanes = LANES
     return pl.pallas_call(
         _factor_body,
-        grid=(B // LANES,),
-        in_specs=[_spec_mat(K)],
-        out_specs=(_spec_mat(K), _spec_vec(K)),
+        grid=(B // lanes,),
+        in_specs=[_spec_mat(K, lanes)],
+        out_specs=(_spec_mat(K, lanes), _spec_vec(K, lanes)),
         out_shape=(jax.ShapeDtypeStruct((K, K, B), M.dtype),
                    jax.ShapeDtypeStruct((K, B), M.dtype)),
+        input_output_aliases={0: 0},
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(M)
 
@@ -146,28 +221,36 @@ def ldlt_factor_lanes(M, *, interpret=False):
 def ldlt_solve_lanes(F, d, b, *, interpret=False):
     """Packed factor (K, K, B), (K, B) + rhs (K, B) -> solution (K, B)."""
     K, _, B = F.shape
+    lanes = LANES
     return pl.pallas_call(
         _solve_body,
-        grid=(B // LANES,),
-        in_specs=[_spec_mat(K), _spec_vec(K), _spec_vec(K)],
-        out_specs=_spec_vec(K),
+        grid=(B // lanes,),
+        in_specs=[_spec_mat(K, lanes), _spec_vec(K, lanes),
+                  _spec_vec(K, lanes)],
+        out_specs=_spec_vec(K, lanes),
         out_shape=jax.ShapeDtypeStruct((K, B), F.dtype),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(F, d, b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ldlt_factor_solve_lanes(M, b, *, interpret=False):
-    """Fused factor + solve; also returns the factor for later re-solves."""
+    """Fused factor + solve; also returns the factor for later re-solves.
+    The factor output aliases the input buffer (in-place in VMEM)."""
     K, _, B = M.shape
+    lanes = LANES
     x, F, d = pl.pallas_call(
         _factor_solve_body,
-        grid=(B // LANES,),
-        in_specs=[_spec_mat(K), _spec_vec(K)],
-        out_specs=(_spec_vec(K), _spec_mat(K), _spec_vec(K)),
+        grid=(B // lanes,),
+        in_specs=[_spec_mat(K, lanes), _spec_vec(K, lanes)],
+        out_specs=(_spec_vec(K, lanes), _spec_mat(K, lanes),
+                   _spec_vec(K, lanes)),
         out_shape=(jax.ShapeDtypeStruct((K, B), M.dtype),
                    jax.ShapeDtypeStruct((K, K, B), M.dtype),
                    jax.ShapeDtypeStruct((K, B), M.dtype)),
+        input_output_aliases={0: 1},
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(M, b)
     return x, F, d

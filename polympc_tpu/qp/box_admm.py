@@ -105,10 +105,11 @@ def _make_epoch_fn(sigma, alpha, iters):
     the fused lane-batched Pallas kernel with the LDL^T factor VMEM-resident
     (ops/admm_epoch.py)."""
     from jax.custom_batching import custom_vmap
-    from polympc_tpu.ops.admm_epoch import admm_epoch_batched
+    from polympc_tpu.ops.admm_epoch import (
+        admm_epoch_batched, epoch_kernel_fits,
+    )
 
-    @custom_vmap
-    def epoch(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
+    def _epoch_impl(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
         n, m = h.shape[0], al.shape[0]
         fac = lu_factor(kkt)
 
@@ -133,11 +134,20 @@ def _make_epoch_fn(sigma, alpha, iters):
 
         return jax.lax.fori_loop(0, iters, it, (x, z, q, y, yb))
 
+    epoch = custom_vmap(_epoch_impl)
+
     @epoch.def_vmap
     def _batched(axis_size, in_batched, *args):
         args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, b in zip(args, in_batched)]
-        out = admm_epoch_batched(*args, sigma=sigma, alpha=alpha, iters=iters)
+        n, m = args[1].shape[-1], args[2].shape[-1]
+        if epoch_kernel_fits(n, m):
+            out = admm_epoch_batched(*args, sigma=sigma, alpha=alpha,
+                                     iters=iters)
+        else:
+            # KKT too large for the fused kernel's VMEM working set:
+            # fall back to the vmapped LU epoch
+            out = jax.vmap(_epoch_impl)(*args)
         return out, (True,) * 5
 
     return epoch
