@@ -11,9 +11,13 @@ from polympc_tpu.ocp.multiple_shooting import (
 from polympc_tpu.ocp.identification import (
     IdentificationResult, equation_error_fit, identify,
 )
+from polympc_tpu.ocp.collocation import (
+    collocate_dynamics, collocate_cost, collocate_constraints,
+)
 
 __all__ = ["OCP", "Transcription", "transcribe", "ocp_bounds",
            "split_z", "pack_z", "SpectralOps",
            "rk4_step", "rk4_integrate", "implicit_integrate", "ps_integrate",
            "MSTranscription", "transcribe_ms", "ms_bounds",
-           "IdentificationResult", "equation_error_fit", "identify"]
+           "IdentificationResult", "equation_error_fit", "identify",
+           "collocate_dynamics", "collocate_cost", "collocate_constraints"]
