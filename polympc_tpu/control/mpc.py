@@ -24,6 +24,7 @@ import numpy as np
 
 from polympc_tpu.basis.basis import Chebyshev, SegmentedBasis
 from polympc_tpu.nlp.sqp import sqp_solve
+from polympc_tpu.nlp.ip import IPNLPSettings, nlp_ip_solve
 from polympc_tpu.nlp.types import NLPBounds, SQPSettings
 from polympc_tpu.ocp.ocp import OCP
 from polympc_tpu.ocp.transcription import transcribe, split_z, pack_z
@@ -35,9 +36,17 @@ __all__ = ["MPC"]
 class MPC:
     def __init__(self, ocp: OCP, mesh: SegmentedBasis | None = None,
                  t0: float = 0.0, tf: float = 1.0,
-                 settings: SQPSettings = SQPSettings(hessian="exact"),
+                 settings: SQPSettings | IPNLPSettings =
+                 SQPSettings(hessian="exact"),
                  x_scale=None, u_scale=None, p_scale=None,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, solver: str = "sqp"):
+        """solver: "sqp" (SQP + boxADMM, the reference's MPC default) or
+        "ip" (interior point, the reference's Ipopt-backed path,
+        ipopt_interface.hpp:387-495)."""
+        if solver not in ("sqp", "ip"):
+            raise ValueError("solver must be 'sqp' or 'ip'")
+        if solver == "ip" and not isinstance(settings, IPNLPSettings):
+            settings = IPNLPSettings()
         self.ocp = ocp
         self.mesh = mesh if mesh is not None else SegmentedBasis(Chebyshev(5), 2)
         self.tr = transcribe(ocp, self.mesh, x_scale=x_scale,
@@ -67,6 +76,9 @@ class MPC:
         @jax.jit
         def _solve(z0, lam0, lam_box0, lbx, ubx, gl, gu, prm):
             bounds = NLPBounds(lbx=lbx, ubx=ubx, gl=gl, gu=gu)
+            if solver == "ip":
+                return nlp_ip_solve(self.tr.nlp, z0, p=prm, bounds=bounds,
+                                    lam0=lam0, settings=self.settings)
             return sqp_solve(self.tr.nlp, z0, p=prm, bounds=bounds,
                              lam0=lam0, lam_box0=lam_box0,
                              settings=self.settings)

@@ -66,6 +66,10 @@ class IPNLPSettings:
     reg_c: float = 1e-8         # dual (2,2)-block regularisation
     bound_push: float = 1e-2    # kappa_1: initial distance to bounds
     bound_frac: float = 1e-2    # kappa_2: relative initial distance
+    # Ipopt bound_relax_factor: every finite bound is relaxed outward by
+    # relax*max(1,|b|) so fixed variables (lb == ub, e.g. a pinned MPC
+    # initial condition) keep a nonempty strict interior
+    bound_relax: float = 1e-8
     loose_bound: float = 1e10
     hessian: str = "exact"      # "exact" | "gauss_newton"
     nu_safety: float = 1.0      # l1 merit penalty = ||y||_inf + safety
@@ -150,8 +154,9 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
     has_u = wu < settings.loose_bound
     fl = has_l.astype(dt)
     fu = has_u.astype(dt)
-    wl_s = jnp.where(has_l, wl, 0.0)
-    wu_s = jnp.where(has_u, wu, 0.0)
+    rlx = settings.bound_relax
+    wl_s = jnp.where(has_l, wl - rlx * jnp.maximum(1.0, jnp.abs(wl)), 0.0)
+    wu_s = jnp.where(has_u, wu + rlx * jnp.maximum(1.0, jnp.abs(wu)), 0.0)
 
     def push_interior(w):
         """Ipopt kappa_1/kappa_2 push: strictly inside every finite bound."""

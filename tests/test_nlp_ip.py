@@ -103,3 +103,33 @@ def test_ip_warm_start_duals():
     s2 = nlp_ip_solve(nlp, s1.x, lam0=s1.lam)
     assert int(s2.status) == st.SOLVED
     assert int(s2.iters) <= int(s1.iters)
+
+
+def test_mpc_with_ip_backend():
+    # the MPC facade with solver="ip" (the reference's Ipopt-backed route,
+    # ipopt_ocp_test.cpp) must agree with the SQP backend on the robot OCP
+    from polympc_tpu.basis import Chebyshev, SegmentedBasis
+    from polympc_tpu.control import MPC
+    from tests.test_control import robot_ocp
+
+    def build(solver, **kw):
+        m = MPC(robot_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=2.0,
+                solver=solver, **kw)
+        m.set_static_parameters([2.0])
+        m.control_bounds([-1.5, -0.75], [1.5, 0.75])
+        m.initial_conditions([0.5, 0.5, 0.5])
+        m.x_guess([0.5, 0.5, 0.5])
+        return m
+
+    ip = build("ip")
+    sol_ip = ip.solve()
+    assert int(sol_ip.status) == st.SOLVED
+    sqp = build("sqp")
+    sol_sqp = sqp.solve()
+    assert int(sol_sqp.status) == st.SOLVED
+    np.testing.assert_allclose(np.asarray(ip.solution_x()),
+                               np.asarray(sqp.solution_x()), atol=1e-3)
+    # warm-started re-solve must also converge
+    ip.initial_conditions([0.51, 0.49, 0.5])
+    warm = ip.solve()
+    assert int(warm.status) == st.SOLVED
