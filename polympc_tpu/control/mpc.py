@@ -153,6 +153,22 @@ class MPC:
     def _split(self, z):
         return split_z(z, self.ocp.nx, self.ocp.nu, self.tr.N, self.ocp.np_)
 
+    # ---- checkpoint / resume (no reference analogue: the C++ warm start
+    # lives only in memory, sqp_base.hpp:613-615; here a controller restart
+    # can resume from the last warm start) ----
+    def warm_state(self):
+        """The warm-start pytree: (z, lam, lam_box)."""
+        return (self._z, self._lam, self._lam_box)
+
+    def save_state(self, path: str):
+        from polympc_tpu.utils.checkpoint import save_pytree
+        save_pytree(path, self.warm_state())
+
+    def load_state(self, path: str):
+        from polympc_tpu.utils.checkpoint import load_pytree
+        self._z, self._lam, self._lam_box = load_pytree(
+            path, self.warm_state())
+
     # ---- solve ----
     def solve(self):
         N = self.tr.N
