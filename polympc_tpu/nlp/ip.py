@@ -41,6 +41,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from polympc_tpu.nlp.hessian import regularize
 from polympc_tpu.nlp.types import NLP, NLPBounds, unbounded
 from polympc_tpu.utils import status as st
 from polympc_tpu.utils.precision import full_precision
@@ -70,6 +71,12 @@ class IPNLPSettings:
     # relax*max(1,|b|) so fixed variables (lb == ub, e.g. a pinned MPC
     # initial condition) keep a nonempty strict interior
     bound_relax: float = 1e-8
+    # Hessian convexification — the role of Ipopt's inertia correction
+    # (delta_w heuristic): "none" trusts an already-convex W; "eigen" /
+    # "mirror" / "gershgorin" regularise the Lagrangian Hessian so every
+    # Newton direction is a barrier-merit descent direction (nlp/hessian.py)
+    reg: str = "eigen"
+    reg_eps: float = 1e-6
     loose_bound: float = 1e10
     hessian: str = "exact"      # "exact" | "gauss_newton"
     nu_safety: float = 1.0      # l1 merit penalty = ||y||_inf + safety
@@ -78,7 +85,8 @@ class IPNLPSettings:
         return (self.max_iter >= 1 and self.ls_max_iter >= 1
                 and 0 < self.kappa_mu < 1 and self.theta_mu > 1
                 and 0 < self.tau_min < 1
-                and self.hessian in ("exact", "gauss_newton"))
+                and self.hessian in ("exact", "gauss_newton")
+                and self.reg in ("none", "gershgorin", "eigen", "mirror"))
 
 
 class IPNLPSolution(NamedTuple):
@@ -198,6 +206,7 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
 
     def hess_w(w, y):
         W = lag_hess(w[:n], y)
+        W = regularize(W, settings.reg, settings.reg_eps)
         if ni:
             Z = jnp.zeros((n, ni), dt)
             W = jnp.block([[W, Z], [Z.T, jnp.zeros((ni, ni), dt)]])
