@@ -18,6 +18,7 @@ __all__ = [
     "cgl_nodes", "lgl_nodes", "barycentric_weights", "diff_matrix",
     "clenshaw_curtis_weights", "lgl_weights", "chebyshev_quadrature_weights",
     "legendre_vandermonde", "chebyshev_vandermonde",
+    "legendre_galerkin_tensor",
 ]
 
 
@@ -162,3 +163,19 @@ def legendre_vandermonde(x: np.ndarray, order: int) -> np.ndarray:
     for j in range(2, order + 1):
         V[:, j] = ((2 * j - 1) * x * V[:, j - 1] - (j - 1) * V[:, j - 2]) / j
     return V
+
+
+def legendre_galerkin_tensor(order: int) -> np.ndarray:
+    """Galerkin product tensor G[i, j, k] = ∫_{-1}^{1} L_i L_j L_k dx.
+
+    Used for spectral (Galerkin) products: if f = Σ a_i L_i and
+    g = Σ b_j L_j then the coefficients of f·g projected back onto the
+    basis are  c_k = Σ_ij G[i,j,k] a_i b_j / ||L_k||².
+    (ref: legendre.hpp:266-285 — computed there by quadrature but left
+    disabled in the constructor at legendre.hpp:122; enabled here.)
+    """
+    # integrand degree is 3*order: exact with >= (3*order+1)/2 Gauss points
+    npts = int(np.ceil((3 * order + 1) / 2)) + 1
+    x, w = np.polynomial.legendre.leggauss(npts)
+    V = legendre_vandermonde(x, order)            # (npts, order+1)
+    return np.einsum("qi,qj,qk,q->ijk", V, V, V, w)

@@ -123,3 +123,21 @@ def test_projection(make):
     p = project(f, b, a=0.0, b=2.0)
     tq = np.linspace(0.0, 2.0, 33)
     np.testing.assert_allclose(p(tq), [f(t) for t in tq], atol=1e-6)
+
+
+def test_legendre_galerkin_tensor():
+    # reference legendre.hpp:266-285 (left disabled there at :122):
+    # G[i,j,k] = integral of L_i L_j L_k over [-1, 1]
+    from polympc_tpu.basis.nodes import legendre_galerkin_tensor
+    G = legendre_galerkin_tensor(5)
+    # orthogonality slice: G[0,j,k] = 2/(2j+1) delta_jk
+    for j in range(6):
+        for k in range(6):
+            expect = 2.0 / (2 * j + 1) if j == k else 0.0
+            assert abs(G[0, j, k] - expect) < 1e-13
+    # fully symmetric tensor
+    assert np.allclose(G, G.transpose(1, 0, 2))
+    assert np.allclose(G, G.transpose(2, 1, 0))
+    # Galerkin product: L_1 * L_1 = 1/3 L_0 + 2/3 L_2
+    c = G[1, 1, :] / (2.0 / (2 * np.arange(6) + 1))
+    np.testing.assert_allclose(c, [1 / 3, 0, 2 / 3, 0, 0, 0], atol=1e-14)
