@@ -165,17 +165,26 @@ def legendre_vandermonde(x: np.ndarray, order: int) -> np.ndarray:
     return V
 
 
-def legendre_galerkin_tensor(order: int) -> np.ndarray:
+def legendre_galerkin_tensor(order: int, normalized: bool = False) -> np.ndarray:
     """Galerkin product tensor G[i, j, k] = ∫_{-1}^{1} L_i L_j L_k dx.
 
     Used for spectral (Galerkin) products: if f = Σ a_i L_i and
     g = Σ b_j L_j then the coefficients of f·g projected back onto the
     basis are  c_k = Σ_ij G[i,j,k] a_i b_j / ||L_k||².
-    (ref: legendre.hpp:266-285 — computed there by quadrature but left
-    disabled in the constructor at legendre.hpp:122; enabled here.)
+
+    With ``normalized=True`` each k-slice is multiplied by the norm factor
+    1/||L_k||² = (2k+1)/2, matching the tensor the reference stores
+    (legendre.hpp:266-285 bakes NormFactors[k] in — computed there by
+    quadrature but left disabled in the constructor at legendre.hpp:122;
+    enabled here).  The default (raw integrals) is the convention used by
+    the rest of this package.
     """
     # integrand degree is 3*order: exact with >= (3*order+1)/2 Gauss points
     npts = int(np.ceil((3 * order + 1) / 2)) + 1
     x, w = np.polynomial.legendre.leggauss(npts)
     V = legendre_vandermonde(x, order)            # (npts, order+1)
-    return np.einsum("qi,qj,qk,q->ijk", V, V, V, w)
+    G = np.einsum("qi,qj,qk,q->ijk", V, V, V, w)
+    if normalized:
+        k = np.arange(order + 1)
+        G = G * ((2.0 * k + 1.0) / 2.0)[None, None, :]
+    return G

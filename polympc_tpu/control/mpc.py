@@ -45,8 +45,20 @@ class MPC:
         ipopt_interface.hpp:387-495)."""
         if solver not in ("sqp", "ip"):
             raise ValueError("solver must be 'sqp' or 'ip'")
+        # settings/solver consistency: only substitute defaults when the
+        # caller left the default SQPSettings; explicitly tuned settings of
+        # the wrong type are an error, not silently discarded
         if solver == "ip" and not isinstance(settings, IPNLPSettings):
-            settings = IPNLPSettings()
+            if settings == SQPSettings(hessian="exact"):
+                settings = IPNLPSettings()
+            else:
+                raise TypeError(
+                    "solver='ip' requires IPNLPSettings; got explicitly "
+                    f"configured {type(settings).__name__}")
+        if solver == "sqp" and not isinstance(settings, SQPSettings):
+            raise TypeError(
+                "solver='sqp' requires SQPSettings; got "
+                f"{type(settings).__name__}")
         self.ocp = ocp
         self.mesh = mesh if mesh is not None else SegmentedBasis(Chebyshev(5), 2)
         self.tr = transcribe(ocp, self.mesh, x_scale=x_scale,

@@ -1,15 +1,22 @@
 """Quasi-Newton Hessian updates and regularisation, pure JAX.
 
 Replaces bfgs.hpp:23-52 (damped BFGS, Nocedal Procedure 18.2),
-sr1.hpp:22-36 (safeguarded SR1) and the reference's per-test
-hessian-regularisation hooks (sqp_base.hpp:317,
+sr1.hpp:22-36 (safeguarded SR1), the reference's sparsity-preserving
+block-BFGS for collocation NLPs (continuous_ocp.hpp:2304-2431) and the
+per-test hessian-regularisation hooks (sqp_base.hpp:317,
 tests/control/mpc_wrapper_test.cpp:90-118).
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
-__all__ = ["bfgs_update", "sr1_update", "regularize"]
+__all__ = [
+    "bfgs_update", "sr1_update", "regularize",
+    "BlockHessian", "block_hessian_identity", "block_hessian_matvec",
+    "block_bfgs_update", "assemble_block_hessian",
+]
 
 
 def bfgs_update(B, s, y):
@@ -40,6 +47,103 @@ def sr1_update(B, s, y):
     ok = jnp.abs(sd) >= 1e-6 * jnp.linalg.norm(s) * jnp.linalg.norm(d) + 1e-16
     B_new = B + jnp.outer(d, d) / jnp.where(ok, sd, 1.0)
     return jnp.where(ok, B_new, B)
+
+
+class BlockHessian(NamedTuple):
+    """Compact storage of a collocation-structured quasi-Newton Hessian:
+    node-diagonal (xx, uu, xu) blocks plus the dense parameter arrow —
+    exactly the sparsity pattern the reference's block-BFGS touches
+    (continuous_ocp.hpp:2304-2431).  Memory is N*(nx^2+nu^2+nx*nu) +
+    (N*(nx+nu))*np + np^2 floats instead of the O(n^2) dense matrix, so the
+    update scales linearly with horizon length."""
+    xx: jnp.ndarray   # (N, nx, nx)
+    uu: jnp.ndarray   # (N, nu, nu)
+    xu: jnp.ndarray   # (N, nx, nu)
+    ap: jnp.ndarray   # (N*(nx+nu), np)  all-variables x parameters column
+    pp: jnp.ndarray   # (np, np)
+
+
+def block_hessian_identity(N: int, nx: int, nu: int, np_: int,
+                           dtype=jnp.float64) -> BlockHessian:
+    """B0 = I in block storage."""
+    return BlockHessian(
+        xx=jnp.tile(jnp.eye(nx, dtype=dtype)[None], (N, 1, 1)),
+        uu=jnp.tile(jnp.eye(nu, dtype=dtype)[None], (N, 1, 1)),
+        xu=jnp.zeros((N, nx, nu), dtype),
+        ap=jnp.zeros((N * (nx + nu), np_), dtype),
+        pp=jnp.eye(np_, dtype=dtype))
+
+
+def _split_nodes(v, N, nx, nu):
+    """z-ordered vector -> (vx (N,nx), vu (N,nu), vp (np,))."""
+    vx = v[:N * nx].reshape(N, nx)
+    vu = v[N * nx:N * (nx + nu)].reshape(N, nu)
+    return vx, vu, v[N * (nx + nu):]
+
+
+def block_hessian_matvec(B: BlockHessian, s, N: int, nx: int, nu: int):
+    """v = B s without materialising the dense matrix."""
+    sx, su, sp = _split_nodes(s, N, nx, nu)
+    vx = jnp.einsum("kij,kj->ki", B.xx, sx) + jnp.einsum(
+        "kij,kj->ki", B.xu, su)
+    vu = jnp.einsum("kji,kj->ki", B.xu, sx) + jnp.einsum(
+        "kij,kj->ki", B.uu, su)
+    va = jnp.concatenate([vx.reshape(-1), vu.reshape(-1)])
+    if B.pp.shape[0]:
+        sa = s[:N * (nx + nu)]
+        va = va + B.ap @ sp
+        vp = B.ap.T @ sa + B.pp @ sp
+        return jnp.concatenate([va, vp])
+    return va
+
+
+def block_bfgs_update(B: BlockHessian, s, y, N: int, nx: int, nu: int
+                      ) -> BlockHessian:
+    """Sparsity-preserving damped BFGS (continuous_ocp.hpp:2304-2431):
+    the *global* damped rank-2 update  -vv'/s'v + rr'/s'r  (v = Bs,
+    r = theta*y + (1-theta)*v) restricted to the node-diagonal blocks and
+    the parameter arrow.  Degenerate steps leave B unchanged."""
+    v = block_hessian_matvec(B, s, N, nx, nu)
+    sBs = s @ v
+    sy = s @ y
+    theta = jnp.where(sy >= 0.2 * sBs, 1.0,
+                      0.8 * sBs / jnp.maximum(sBs - sy, 1e-16))
+    r = theta * y + (1.0 - theta) * v
+    sr = s @ r
+    ok = (sBs > 1e-14) & (sr > 1e-14)
+    ci = jnp.where(ok, 1.0 / jnp.maximum(sBs, 1e-16), 0.0)
+    cr = jnp.where(ok, 1.0 / jnp.maximum(sr, 1e-16), 0.0)
+
+    vx, vu, vp = _split_nodes(v, N, nx, nu)
+    rx, ru, rp = _split_nodes(r, N, nx, nu)
+    upd = lambda a, b: cr * jnp.einsum("ki,kj->kij", a[0], a[1]) \
+        - ci * jnp.einsum("ki,kj->kij", b[0], b[1])
+    xx = B.xx + upd((rx, rx), (vx, vx))
+    uu = B.uu + upd((ru, ru), (vu, vu))
+    xu = B.xu + upd((rx, ru), (vx, vu))
+    if B.pp.shape[0]:
+        va = v[:N * (nx + nu)]
+        ra = r[:N * (nx + nu)]
+        ap = B.ap + cr * jnp.outer(ra, rp) - ci * jnp.outer(va, vp)
+        pp = B.pp + cr * jnp.outer(rp, rp) - ci * jnp.outer(vp, vp)
+    else:
+        ap, pp = B.ap, B.pp
+    return BlockHessian(xx=xx, uu=uu, xu=xu, ap=ap, pp=pp)
+
+
+def assemble_block_hessian(B: BlockHessian, N: int, nx: int, nu: int):
+    """Dense (n, n) matrix from block storage (for dense QP backends)."""
+    dt = B.xx.dtype
+    eN = jnp.eye(N, dtype=dt)
+    XX = jnp.einsum("kij,kl->kilj", B.xx, eN).reshape(N * nx, N * nx)
+    UU = jnp.einsum("kij,kl->kilj", B.uu, eN).reshape(N * nu, N * nu)
+    XU = jnp.einsum("kij,kl->kilj", B.xu, eN).reshape(N * nx, N * nu)
+    top = jnp.concatenate([XX, XU], axis=1)
+    mid = jnp.concatenate([XU.T, UU], axis=1)
+    H = jnp.concatenate([top, mid], axis=0)
+    if B.pp.shape[0]:
+        H = jnp.block([[H, B.ap], [B.ap.T, B.pp]])
+    return H
 
 
 def regularize(H, mode: str, eps: float):

@@ -221,13 +221,14 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
 
     n_scale = jnp.maximum(1.0, (jnp.sum(fl) + jnp.sum(fu)) / max(nw, 1))
 
-    def kkt_error(w, y, z_l, z_u, mu):
-        """Infinity-norm KKT error of the mu-barrier problem (mu=0: true)."""
+    def kkt_error_from(J, g, r_c, w, y, z_l, z_u, mu):
+        """Infinity-norm KKT error of the mu-barrier problem (mu=0: true),
+        from precomputed Jacobian J, objective gradient g and equality
+        residual r_c — the barrier and convergence errors differ only in the
+        complementarity term, so one Jacobian evaluation serves both."""
         d_l = jnp.where(has_l, w - wl_s, 1.0)
         d_u = jnp.where(has_u, wu_s - w, 1.0)
-        J = slacked_jac(w)
-        r_d = grad_w(w) + (J.T @ y if me else 0.0) - fl * z_l + fu * z_u
-        r_c = slacked(w)
+        r_d = g + (J.T @ y if me else 0.0) - fl * z_l + fu * z_u
         comp = jnp.maximum(
             jnp.max(jnp.abs(fl * (d_l * z_l - mu)), initial=0.0),
             jnp.max(jnp.abs(fu * (d_u * z_u - mu)), initial=0.0))
@@ -239,6 +240,10 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
                            jnp.maximum(jnp.max(jnp.abs(r_c), initial=0.0),
                                        comp / s_d))
 
+    def kkt_error(w, y, z_l, z_u, mu):
+        return kkt_error_from(slacked_jac(w), grad_w(w), slacked(w),
+                              w, y, z_l, z_u, mu)
+
     def barrier_merit(w, mu, nu):
         d_l = jnp.where(has_l, w - wl_s, 1.0)
         d_u = jnp.where(has_u, wu_s - w, 1.0)
@@ -247,17 +252,18 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
         return f(w[:n]) + bar + nu * jnp.sum(jnp.abs(slacked(w)))
 
     def body(carry):
-        w, y, z_l, z_u, mu, it, status = carry
+        # J, g, r_c are the constraint Jacobian, objective gradient and
+        # equality residual at w, carried from the previous iteration so each
+        # iteration evaluates the (dominant-cost) Jacobian exactly once
+        w, y, z_l, z_u, mu, it, status, J, g, r_c = carry
         d_l = jnp.where(has_l, w - wl_s, 1.0)
         d_u = jnp.where(has_u, wu_s - w, 1.0)
 
         # condensed primal-dual Newton system on (dw, dy)
-        J = slacked_jac(w)
         W = hess_w(w, y)
         sigma = fl * z_l / d_l + fu * z_u / d_u
-        r_d = (grad_w(w) + (J.T @ y if me else 0.0)
+        r_d = (g + (J.T @ y if me else 0.0)
                - fl * (mu / d_l) + fu * (mu / d_u))
-        r_c = slacked(w)
         K = jnp.block([
             [W + jnp.diag(sigma) + settings.reg_w * jnp.eye(nw, dtype=dt),
              J.T],
@@ -324,8 +330,14 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
         z_l2 = jnp.where(finite, z_l2, z_l)
         z_u2 = jnp.where(finite, z_u2, z_u)
 
+        # one derivative evaluation at the new point, shared by the barrier
+        # error, the convergence test and the next iteration's Newton system
+        J2 = slacked_jac(w2)
+        g2 = grad_w(w2)
+        c2 = slacked(w2)
+
         # barrier update: shrink mu once the mu-problem is solved
-        e_mu = kkt_error(w2, y2, z_l2, z_u2, mu)
+        e_mu = kkt_error_from(J2, g2, c2, w2, y2, z_l2, z_u2, mu)
         shrink = e_mu <= settings.kappa_eps * mu * n_scale
         mu2 = jnp.where(
             shrink,
@@ -334,18 +346,21 @@ def nlp_ip_solve(nlp: NLP, x0, p=None, bounds: Optional[NLPBounds] = None,
                                     mu ** settings.theta_mu)),
             mu)
 
-        conv = kkt_error(w2, y2, z_l2, z_u2, 0.0) <= settings.tol
+        conv = kkt_error_from(J2, g2, c2, w2, y2, z_l2, z_u2,
+                              0.0) <= settings.tol
         status2 = jnp.where(conv, st.SOLVED,
                             jnp.where(finite, status, st.UNSOLVED))
-        return (w2, y2, z_l2, z_u2, mu2, it + 1, status2)
+        return (w2, y2, z_l2, z_u2, mu2, it + 1, status2, J2, g2, c2)
 
     def cond(carry):
         it, status = carry[5], carry[6]
         return (status == st.MAX_ITER_EXCEEDED) & (it < settings.max_iter)
 
     init = (w, y, z_l, z_u, mu0, jnp.zeros((), jnp.int32),
-            jnp.full((), st.MAX_ITER_EXCEEDED, jnp.int32))
-    w, y, z_l, z_u, mu, iters, status = jax.lax.while_loop(cond, body, init)
+            jnp.full((), st.MAX_ITER_EXCEEDED, jnp.int32),
+            slacked_jac(w), grad_w(w), slacked(w))
+    (w, y, z_l, z_u, mu, iters, status,
+     _, _, _) = jax.lax.while_loop(cond, body, init)
 
     x = w[:n]
     err = kkt_error(w, y, z_l, z_u, 0.0)

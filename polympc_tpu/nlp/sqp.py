@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from polympc_tpu.nlp.types import NLP, NLPBounds, SQPSettings, SQPSolution, unbounded
-from polympc_tpu.nlp.hessian import bfgs_update, regularize
+from polympc_tpu.nlp.hessian import (
+    bfgs_update, sr1_update, regularize, block_hessian_identity,
+    block_bfgs_update, assemble_block_hessian,
+)
 from polympc_tpu.qp.types import QPData
 from polympc_tpu.qp.box_admm import box_admm_solve
 from polympc_tpu.utils import status as st
@@ -115,6 +118,7 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             g = g + jac_fn(x).T @ lam
         return g
 
+    quasi_newton = settings.hessian in ("bfgs", "sr1", "block_bfgs")
     if settings.hessian == "exact":
         if nlp.lag_hessian is not None:
             hess_fn = lambda x, lam: nlp.lag_hessian(x, lam, p)
@@ -133,7 +137,13 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             raise ValueError("hessian='gauss_newton' requires nlp.gn_hessian")
         hess_fn = lambda x, lam: nlp.gn_hessian(x, p)
     else:
-        hess_fn = None  # BFGS carries B
+        hess_fn = None  # quasi-Newton modes carry B
+    if settings.hessian == "block_bfgs":
+        if nlp.block_structure is None:
+            raise ValueError(
+                "hessian='block_bfgs' requires nlp.block_structure "
+                "(set by ocp.transcribe)")
+        bs_N, bs_nx, bs_nu, bs_np = nlp.block_structure
 
     def merit_components(x):
         return cost_fn(x), _violation_l1(con_fn(x), cl, cu, x,
@@ -143,13 +153,15 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
 
     def body(carry):
         (x, lam, lam_box, B, it, done, qp_iters_acc,
-         prim_step, dual_step, viol, filt_f, filt_v) = carry
+         prim_step, dual_step, viol, filt_f, filt_v, trace) = carry
 
         g = grad_fn(x)
         c = con_fn(x) if m else jnp.zeros(0, dt)
         A = jac_fn(x) if m else jnp.zeros((0, n), dt)
 
-        if settings.hessian == "bfgs":
+        if settings.hessian == "block_bfgs":
+            H = assemble_block_hessian(B, bs_N, bs_nx, bs_nu)
+        elif quasi_newton:
             H = B
         else:
             H = hess_fn(x, lam)
@@ -250,10 +262,15 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         lam2 = lam + alpha * (lam_qp - lam) if m else lam
         lam_box2 = lam_box + alpha * (lam_box_qp - lam_box)
 
-        if settings.hessian == "bfgs":
+        if quasi_newton:
             s_vec = x2 - x
             y_vec = lag_grad(x2, lam2) - lag_grad(x, lam2)
-            B2 = bfgs_update(B, s_vec, y_vec)
+            if settings.hessian == "bfgs":
+                B2 = bfgs_update(B, s_vec, y_vec)
+            elif settings.hessian == "sr1":
+                B2 = sr1_update(B, s_vec, y_vec)
+            else:
+                B2 = block_bfgs_update(B, s_vec, y_vec, bs_N, bs_nx, bs_nu)
         else:
             B2 = B
 
@@ -275,11 +292,23 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             & (vi <= settings.eps_viol) \
             & (stat <= settings.eps_stat * lam_scale)
 
+        # per-iteration observability record (iteration_callback analogue)
+        trace2 = trace
+        if settings.trace_iters > 0:
+            slot_t = jnp.clip(it, 0, settings.trace_iters - 1)
+            row = jnp.stack([cost_fn(x2).astype(dt), vi.astype(dt),
+                             ps.astype(dt), ds.astype(dt)])
+            row = jnp.where(it < settings.trace_iters, row, trace[slot_t])
+            trace2 = trace.at[slot_t].set(row)
+
         new = (x2, lam2, lam_box2, B2, it + 1, conv,
-               qp_iters_acc + qp_sol.iters, ps, ds, vi, filt_f, filt_v)
+               qp_iters_acc + qp_sol.iters, ps, ds, vi, filt_f, filt_v,
+               trace2)
         old = (x, lam, lam_box, B, it, done, qp_iters_acc,
-               prim_step, dual_step, viol, filt_f, filt_v)
-        return tuple(jnp.where(done, o, nw) for o, nw in zip(old, new))
+               prim_step, dual_step, viol, filt_f, filt_v, trace)
+        # tree_map (not a flat tuple-zip): B may be a BlockHessian pytree
+        return jax.tree_util.tree_map(
+            lambda o, nw: jnp.where(done, o, nw), old, new)
 
     def cond(carry):
         it, done = carry[4], carry[5]
@@ -294,16 +323,22 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
     # project the initial guess into the box so all iterates stay feasible
     # with respect to the bounds (steps are clipped to the shifted box)
     x0 = jnp.clip(x0.astype(dt), bounds.lbx, bounds.ubx)
+    if settings.hessian == "block_bfgs":
+        B0 = block_hessian_identity(bs_N, bs_nx, bs_nu, bs_np, dt)
+    else:
+        B0 = jnp.eye(n, dtype=dt)
+    trace0 = jnp.full((settings.trace_iters, 4), jnp.nan, dt)
     init = (x0.astype(dt), lam_init, lam_box_init,
-            jnp.eye(n, dtype=dt), jnp.zeros((), jnp.int32),
+            B0, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt), filt_f0, filt_v0)
+            jnp.asarray(jnp.inf, dt), filt_f0, filt_v0, trace0)
 
     (x, lam, lam_box, B, iters, done, qp_iters,
-     ps, ds, vi, _, _) = jax.lax.while_loop(cond, body, init)
+     ps, ds, vi, _, _, trace) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
     return SQPSolution(x=x, lam=lam, lam_box=lam_box, status=status,
                        iters=iters, qp_iters=qp_iters, cost=cost_fn(x),
-                       primal_step=ps, dual_step=ds, violation=vi)
+                       primal_step=ps, dual_step=ds, violation=vi,
+                       trace=trace if settings.trace_iters > 0 else None)

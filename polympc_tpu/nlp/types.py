@@ -42,6 +42,10 @@ class NLP:
     eq_jac: Optional[Callable] = None       # (x, p) -> (ne, n)
     ineq_jac: Optional[Callable] = None     # (x, p) -> (ni, n)
     lag_hessian: Optional[Callable] = None  # (x, lam, p) -> (n, n), lam (m,)
+    # collocation block structure (N, nx, nu, np_) when z = [X; U; P] —
+    # enables the sparsity-preserving block-BFGS (hessian="block_bfgs",
+    # the reference's continuous_ocp.hpp:2304-2431) and structured KKT paths
+    block_structure: Optional[tuple] = None
 
     def __post_init__(self):
         if (self.eq is None) != (self.ne == 0):
@@ -80,7 +84,7 @@ class SQPSettings:
     eps_dual: float = 1e-3     # dual step-norm termination
     eps_viol: float = 1e-4     # max constraint violation at termination
     eps_stat: float = 1e-3     # Lagrangian-gradient (stationarity) tolerance
-    hessian: str = "bfgs"      # "bfgs" | "exact" | "gauss_newton"
+    hessian: str = "bfgs"      # "bfgs" | "sr1" | "block_bfgs" | "exact" | "gauss_newton"
     reg: str = "eigen"         # "none" | "gershgorin" | "eigen" | "eigmin" | "ridge"
     reg_eps: float = 1e-6
     line_search: str = "merit"  # "merit" | "filter"
@@ -89,15 +93,21 @@ class SQPSettings:
     filter_depth: int = 10          # max filter entries (line_search.hpp:30)
     filter_gamma: float = 1e-5      # filter acceptability margins
     filter_beta: float = 0.999
+    # per-iteration observability: >0 records (cost, violation, primal_step,
+    # dual_step) for the first trace_iters SQP iterations in
+    # SQPSolution.trace — the vmap-safe analogue of the reference's
+    # iteration_callback hook (sqp_base.hpp:33,685-686)
+    trace_iters: int = 0
     qp: ADMMSettings = ADMMSettings(eps_abs=1e-4, eps_rel=1e-5)
 
     def validate(self) -> bool:
         return (self.max_iter >= 1 and self.ls_max_iter >= 1
                 and 0 < self.tau < 1 and 0 < self.eta < 1
-                and self.hessian in ("bfgs", "exact", "gauss_newton")
+                and self.hessian in ("bfgs", "sr1", "block_bfgs", "exact",
+                                     "gauss_newton")
                 and self.reg in ("none", "gershgorin", "eigen", "eigmin", "mirror", "ridge")
                 and self.line_search in ("merit", "filter")
-                and self.filter_depth >= 1)
+                and self.filter_depth >= 1 and self.trace_iters >= 0)
 
 
 class SQPSolution(NamedTuple):
@@ -112,3 +122,7 @@ class SQPSolution(NamedTuple):
     primal_step: jnp.ndarray
     dual_step: jnp.ndarray
     violation: jnp.ndarray  # max constraint violation
+    # (trace_iters, 4) per-iteration [cost, violation, primal_step,
+    # dual_step] record (None when trace_iters == 0); rows past the final
+    # iteration hold NaN
+    trace: Optional[jnp.ndarray] = None

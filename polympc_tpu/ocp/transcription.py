@@ -454,7 +454,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
               eq_jac=None if soft else eq_jac_fn,
               ineq_jac=ineq_jac_fn,
               lag_hessian=None if soft else lag_hessian_fn,
-              gn_hessian=gn_hessian_fn)
+              gn_hessian=gn_hessian_fn,
+              block_structure=(N, nx, nu, np_))
     return Transcription(ocp=ocp, mesh=mesh, nlp=nlp,
                          Dg_unit=Dg_unit, w_unit=w_unit, tau=tau,
                          x_scale=sx, u_scale=su, p_scale=sp)

@@ -23,23 +23,36 @@ __all__ = ["save_pytree", "load_pytree"]
 _SEP = "__/__"
 
 
+def _normalize(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalise so save/load agree
+    (save_state('warm') -> load_state('warm') must find the same file)."""
+    return path if str(path).endswith(".npz") else str(path) + ".npz"
+
+
 def save_pytree(path: str, tree) -> None:
     """Serialise a pytree of arrays/scalars to ``path`` (.npz)."""
     flat, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
     arrays["__treedef__"] = np.frombuffer(
         repr(treedef).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    np.savez(_normalize(path), **arrays)
 
 
 def load_pytree(path: str, like):
     """Restore a pytree saved by ``save_pytree``.
 
-    ``like`` supplies the structure (and target dtypes); leaf count and
-    shapes must match what was saved.
+    ``like`` supplies the structure (and target dtypes); leaf count, shapes
+    and the stored tree structure must match what was saved.
     """
+    path = _normalize(path)
     data = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten(like)
+    if "__treedef__" in data:
+        saved_repr = bytes(data["__treedef__"]).decode()
+        if saved_repr != repr(treedef):
+            raise ValueError(
+                f"checkpoint {path} tree structure does not match 'like':\n"
+                f"  saved: {saved_repr}\n  like:  {treedef!r}")
     n = len(flat)
     loaded = []
     for i in range(n):

@@ -86,7 +86,7 @@ def test_long_horizon_matches_trajectory_oracle():
         t0s, tfs = times[s, 0], times[s, -1]
         tau = 2.0 * (t - t0s) / (tfs - t0s) - 1.0
         P = lh.basis.interp_matrix([np.clip(tau, -1.0, 1.0)])
-        return float(P @ Unp[s, :, 0])
+        return float((P @ Unp[s, :, 0]).item())
 
     def dyn(t, x):
         return [x[1], -np.sin(x[0]) - 0.2 * x[1] + u_of_t(t)]

@@ -75,7 +75,7 @@ def _solve_robot(tr, x0, hessian="exact", lam0=None, z0=None):
     return sol, prm, bounds
 
 
-@pytest.mark.parametrize("hessian", ["exact", "bfgs"])
+@pytest.mark.parametrize("hessian", ["exact", "bfgs", "block_bfgs"])
 def test_robot_nmpc_solve(robot_setup, hessian):
     ocp, mesh, tr = robot_setup
     x0 = jnp.array([0.5, 0.5, 0.5])
@@ -195,3 +195,40 @@ def test_nonlinear_constraint_path():
     assert int(sol.status) == st.SOLVED
     g = np.asarray(tr.nlp.ineq(sol.x, prm))
     assert np.all(g <= 1.5 + 1e-4) and np.all(g >= -1.5 - 1e-4)
+
+
+def test_block_bfgs_storage_scales_linearly():
+    """The block quasi-Newton carries N*(nx^2+nu^2+nx*nu) + n*np + np^2
+    floats instead of the dense n^2 — the reference's sparsity-preserving
+    BFGS memory win (continuous_ocp.hpp:2304-2431), decisive at N >= 41."""
+    from polympc_tpu.nlp.hessian import (
+        block_hessian_identity, assemble_block_hessian, block_bfgs_update,
+        block_hessian_matvec, bfgs_update)
+    N, nx, nu, np_ = 41, 3, 2, 1
+    n = N * (nx + nu) + np_
+    B = block_hessian_identity(N, nx, nu, np_)
+    n_block = sum(np.prod(a.shape) for a in B)
+    assert n_block < 0.05 * n * n  # >20x memory saving at N=41
+    # parity of the block update against the dense damped BFGS restricted to
+    # the block sparsity pattern
+    rng = np.random.default_rng(1)
+    s_vec = jnp.asarray(rng.normal(size=n))
+    y_vec = jnp.asarray(rng.normal(size=n))
+    # make curvature positive so the damping branch is deterministic
+    y_vec = y_vec + 2.0 * s_vec
+    B2 = block_bfgs_update(B, s_vec, y_vec, N, nx, nu)
+    H2 = np.asarray(assemble_block_hessian(B2, N, nx, nu))
+    Hd = np.asarray(bfgs_update(jnp.eye(n), s_vec, y_vec))
+    # on-pattern entries match the dense update exactly
+    H2_dense_pattern = np.where(H2 != np.asarray(
+        assemble_block_hessian(B, N, nx, nu)), Hd, H2)
+    mask = np.asarray(assemble_block_hessian(
+        block_hessian_identity(N, nx, nu, np_)._replace(
+            xx=jnp.ones((N, nx, nx)), uu=jnp.ones((N, nu, nu)),
+            xu=jnp.ones((N, nx, nu)), ap=jnp.ones((N * (nx + nu), np_)),
+            pp=jnp.ones((np_, np_))), N, nx, nu)) != 0
+    np.testing.assert_allclose(H2[mask], Hd[mask], rtol=1e-10, atol=1e-12)
+    # matvec consistency with the assembled matrix
+    v = block_hessian_matvec(B2, s_vec, N, nx, nu)
+    np.testing.assert_allclose(np.asarray(v), H2 @ np.asarray(s_vec),
+                               rtol=1e-10, atol=1e-12)

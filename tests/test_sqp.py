@@ -23,7 +23,7 @@ def rosenbrock_nlp():
     return NLP(cost=cost, n=2)
 
 
-@pytest.mark.parametrize("hessian", ["bfgs", "exact"])
+@pytest.mark.parametrize("hessian", ["bfgs", "sr1", "exact"])
 def test_rosenbrock_unconstrained(hessian):
     nlp = rosenbrock_nlp()
     s = SQPSettings(hessian=hessian, max_iter=150, qp=TIGHT_QP,
@@ -57,7 +57,7 @@ def test_simple_constrained_nlp():
     np.testing.assert_allclose(np.asarray(sol.x), [1.0, 1.0], atol=1e-2)
 
 
-@pytest.mark.parametrize("hessian", ["bfgs", "exact"])
+@pytest.mark.parametrize("hessian", ["bfgs", "sr1", "exact"])
 def test_hs071(hessian):
     # min x1*x4*(x1+x2+x3) + x3
     # s.t. x1*x2*x3*x4 >= 25; x1^2+..+x4^2 = 40; 1 <= x <= 5
@@ -111,3 +111,26 @@ def test_max_iter_status():
     sol = sqp_solve(nlp, jnp.array([-1.2, 1.0]), settings=s)
     assert int(sol.status) == st.MAX_ITER_EXCEEDED
     assert int(sol.iters) == 2
+
+
+def test_iteration_trace():
+    # per-iteration observability (the reference's iteration_callback,
+    # sqp_base.hpp:33,685-686): the last recorded row must match the final
+    # info, and rows past the final iteration stay NaN
+    nlp = rosenbrock_nlp()
+    s = SQPSettings(hessian="exact", max_iter=30, qp=TIGHT_QP,
+                    trace_iters=30)
+    sol = sqp_solve(nlp, jnp.array([-1.2, 1.0]), settings=s)
+    assert int(sol.status) == st.SOLVED
+    tr = np.asarray(sol.trace)
+    k = int(sol.iters)
+    assert tr.shape == (30, 4)
+    assert np.all(np.isfinite(tr[:k]))
+    assert np.all(np.isnan(tr[k:]))
+    last = tr[k - 1]
+    np.testing.assert_allclose(last[0], float(sol.cost), rtol=1e-6)
+    np.testing.assert_allclose(last[1], float(sol.violation), atol=1e-12)
+    np.testing.assert_allclose(last[2], float(sol.primal_step), rtol=1e-6)
+    np.testing.assert_allclose(last[3], float(sol.dual_step), rtol=1e-6)
+    # costs decrease over the trace for this well-behaved problem tail
+    assert tr[k - 1, 0] <= tr[0, 0]
