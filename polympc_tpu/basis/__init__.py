@@ -1,4 +1,7 @@
-from polympc_tpu.basis.basis import Basis, Chebyshev, Legendre, SegmentedBasis
+from polympc_tpu.basis.basis import (
+    Basis, Chebyshev, Legendre, LegendreGauss, LegendreRadau,
+    SegmentedBasis,
+)
 from polympc_tpu.basis.splines import (
     CubicSpline, fit_cubic_spline, cubic_spline_eval, lagrange_interp,
 )
@@ -6,7 +9,8 @@ from polympc_tpu.basis.projection import Projection, project
 from polympc_tpu.basis import nodes
 
 __all__ = [
-    "Basis", "Chebyshev", "Legendre", "SegmentedBasis",
+    "Basis", "Chebyshev", "Legendre", "LegendreGauss", "LegendreRadau",
+    "SegmentedBasis",
     "CubicSpline", "fit_cubic_spline", "cubic_spline_eval", "lagrange_interp",
     "Projection", "project", "nodes",
 ]

@@ -15,10 +15,11 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "cgl_nodes", "lgl_nodes", "barycentric_weights", "diff_matrix",
+    "cgl_nodes", "lgl_nodes", "lg_nodes", "lgr_nodes",
+    "barycentric_weights", "diff_matrix",
     "clenshaw_curtis_weights", "lgl_weights", "chebyshev_quadrature_weights",
     "legendre_vandermonde", "chebyshev_vandermonde",
-    "legendre_galerkin_tensor",
+    "legendre_galerkin_tensor", "poly_mul", "poly_diff",
 ]
 
 
@@ -77,6 +78,47 @@ def lgl_nodes(order: int, tol: float = 1e-15, max_iter: int = 100):
 
 def lgl_weights(order: int) -> np.ndarray:
     return lgl_nodes(order)[1]
+
+
+def lg_nodes(order: int):
+    """Legendre-Gauss nodes and weights: order+1 strictly interior points on
+    (-1, 1), quadrature exact to polynomial degree 2*order + 1 — the GAUSS
+    member of the reference's collocation_scheme enum
+    (polynomial_math.hpp:25), which the reference never implements beyond
+    the enum."""
+    if order < 0:
+        raise ValueError(f"polynomial order must be >= 0, got {order}")
+    x, w = np.polynomial.legendre.leggauss(order + 1)
+    return x, w
+
+
+def lgr_nodes(order: int, flip: bool = False):
+    """Legendre-Gauss-Radau nodes and weights: order+1 points including the
+    LEFT endpoint x = -1 (``flip=True``: the RIGHT endpoint +1, the
+    Radau-IIA / stiffly-accurate flavour), quadrature exact to degree
+    2*order — the GAUSS_RADAU member of the reference's scheme enum
+    (polynomial_math.hpp:25).
+
+    Nodes are the roots of L_n + L_{n+1} with n = order (which include -1);
+    weights: w = 2/(n+1)^2 at the endpoint, (1 - x_i)/((n+1)^2 L_n(x_i)^2)
+    inside (Abramowitz & Stegun 25.4.31).
+    """
+    n = order            # n+1 total points
+    if n < 1:
+        raise ValueError(f"Radau needs order >= 1, got {n}")
+    c = np.zeros(n + 2)
+    c[n] = 1.0
+    c[n + 1] = 1.0
+    x = np.polynomial.legendre.legroots(c)
+    x = np.sort(np.real(x))
+    x[0] = -1.0
+    Ln = legendre_vandermonde(x, n)[:, n]
+    w = np.empty(n + 1)
+    w[0] = 2.0 / (n + 1) ** 2
+    w[1:] = (1.0 - x[1:]) / ((n + 1) ** 2 * Ln[1:] ** 2)
+    if flip:
+        x, w = -x[::-1], w[::-1]
+    return x, w
 
 
 def barycentric_weights(x: np.ndarray) -> np.ndarray:
@@ -163,6 +205,30 @@ def legendre_vandermonde(x: np.ndarray, order: int) -> np.ndarray:
     for j in range(2, order + 1):
         V[:, j] = ((2 * j - 1) * x * V[:, j - 1] - (j - 1) * V[:, j - 2]) / j
     return V
+
+
+def poly_mul(p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """Truncating product of two monomial-coefficient polynomials: the
+    result keeps len(p1) coefficients (higher orders dropped), ascending
+    powers — the behaviour of the reference's fixed-size poly_mul
+    (polynomial_math.hpp:43-78).  NOTE: the reference's loop overwrites
+    instead of accumulating coinciding powers (``product[i+j] = ...``); this
+    implementation accumulates, which is the mathematically correct product.
+    """
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    full = np.convolve(p1, p2)
+    return full[: len(p1)]
+
+
+def poly_diff(p: np.ndarray) -> np.ndarray:
+    """Derivative of a monomial-coefficient polynomial, same fixed length
+    (ascending powers, zero-padded) — polynomial_math.hpp:81-93."""
+    p = np.asarray(p, np.float64)
+    out = np.zeros_like(p)
+    k = np.arange(1, len(p))
+    out[: len(p) - 1] = k * p[1:]
+    return out
 
 
 def legendre_galerkin_tensor(order: int, normalized: bool = False) -> np.ndarray:

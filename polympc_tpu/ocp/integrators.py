@@ -22,7 +22,8 @@ import numpy as np
 from polympc_tpu.basis.basis import SegmentedBasis
 from polympc_tpu.utils.precision import full_precision
 
-__all__ = ["rk4_step", "rk4_integrate", "implicit_integrate", "ps_integrate"]
+__all__ = ["rk4_step", "rk4_integrate", "implicit_integrate",
+           "radau_integrate", "ps_integrate"]
 
 
 def rk4_step(f, x, u, t, h):
@@ -96,6 +97,69 @@ def implicit_integrate(f, x0, t0, tf, num_steps: int, u=None,
             return xn - jnp.linalg.solve(J, g), None
 
         x_next, _ = jax.lax.scan(newton, x_next, None, length=newton_iters)
+        return x_next, x_next
+
+    _, traj = jax.lax.scan(step, jnp.asarray(x0, dtype),
+                           (jnp.arange(num_steps, dtype=dtype), U))
+    return jnp.concatenate([jnp.asarray(x0, dtype)[None], traj], axis=0)
+
+
+@full_precision
+def radau_integrate(f, x0, t0, tf, num_steps: int, order: int = 3, u=None,
+                    newton_iters: int = 10):
+    """Radau IIA collocation integrator: stiffly accurate and L-stable —
+    the true stiff-ODE workhorse (the role CVODES' BDF plays in the
+    reference's ODESolver, integrator.cpp:93-111), realised as the
+    GAUSS_RADAU member of the reference's collocation-scheme enum
+    (polynomial_math.hpp:25).
+
+    Per step of size h: stages at the flipped Legendre-Gauss-Radau points
+    c_1..c_s (c_s = 1, s = order+1); the degree-s collocation polynomial
+    interpolates (t_k, x_k) and the stage values, and the defect
+    D_aug @ [x_k; X] = (h/2) f(X) is enforced at the stage rows by a
+    fixed-iteration exact-Jacobian Newton solve.  Stiff accuracy means the
+    last stage IS the step endpoint, so the damping R(inf) = 0 property is
+    inherited exactly.  Order 2s-1.
+
+    Returns the (num_steps+1, nx) trajectory of step endpoints.
+    """
+    from polympc_tpu.basis.nodes import lgr_nodes, diff_matrix
+    stages, _ = lgr_nodes(order, flip=True)      # s = order+1 points, c_s = 1
+    s_n = stages.shape[0]
+    aug = np.concatenate([[-1.0], stages])       # interpolation grid
+    D_aug = diff_matrix(aug)                     # (s+1, s+1)
+
+    h = (tf - t0) / num_steps
+    dtype = jnp.asarray(x0).dtype
+    nx = jnp.asarray(x0).shape[0]
+    D0 = jnp.asarray(D_aug[1:, 0], dtype)        # column hitting x_k
+    DS = jnp.asarray(D_aug[1:, 1:], dtype)       # stage-coupling block
+    if u is None:
+        U = jnp.zeros((num_steps, 0), dtype)
+        f_ = lambda x, u_, t: f(x, None, t)
+    else:
+        u = jnp.asarray(u, dtype)
+        U = jnp.broadcast_to(u, (num_steps,) + u.shape) if u.ndim == 1 else u
+        f_ = f
+    c_t = jnp.asarray((stages + 1.0) * 0.5, dtype)   # stage times in [0, 1]
+
+    def step(x, args):
+        k, uk = args
+        t = t0 + k * h
+        ts = t + c_t * h
+
+        def residual(X):                         # X (s, nx) stage values
+            F = jax.vmap(lambda xi, ti: f_(xi, uk, ti))(X, ts)
+            return (jnp.outer(D0, x) + DS @ X - 0.5 * h * F).reshape(-1)
+
+        def newton(Xf, _):
+            r = residual(Xf.reshape(s_n, nx))
+            J = jax.jacfwd(lambda v: residual(v.reshape(s_n, nx)))(Xf)
+            return Xf - jnp.linalg.solve(J, r), None
+
+        X0 = jnp.tile(x[None], (s_n, 1)).reshape(-1)
+        Xf, _ = jax.lax.scan(newton, X0, None, length=newton_iters)
+        x_next = Xf.reshape(s_n, nx)[-1]         # stiffly accurate endpoint
         return x_next, x_next
 
     _, traj = jax.lax.scan(step, jnp.asarray(x0, dtype),

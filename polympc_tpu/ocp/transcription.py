@@ -184,12 +184,25 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
     """
     N = mesh.num_nodes
     nx, nu, np_, ng = ocp.nx, ocp.nu, ocp.np_, ocp.ng
+    if not mesh.basis.has_left_endpoint:
+        raise NotImplementedError(
+            "collocation transcription needs the left endpoint in the node "
+            "set to pin initial conditions — use a Lobatto or Radau basis "
+            "(Gauss is for quadrature/projection/integration)")
+    has_tf = mesh.basis.has_right_endpoint
     sx = np.ones(nx) if x_scale is None else np.asarray(x_scale, np.float64)
     su = np.ones(nu) if u_scale is None else np.asarray(u_scale, np.float64)
     sp = np.ones(np_) if p_scale is None else np.asarray(p_scale, np.float64)
     n = N * (nx + nu) + np_
-    ne = 0 if soft_defects > 0.0 else N * nx
+    # non-boundary-sharing meshes (Radau) glue segments with explicit
+    # linear continuity rows (Lobatto gets them for free via shared nodes)
+    Rcont = mesh.continuity_matrix()                      # (S-1 or 0, N)
+    n_cont = Rcont.shape[0] * nx
+    ne = 0 if soft_defects > 0.0 else N * nx + n_cont
     ni = N * ng + ocp.ntg
+    # Mayer lands on the interpolated endpoint when tf is not a node
+    r_tf = None if has_tf else mesh.interp_matrix([1.0], 0.0, 1.0)[0]
+    mayer_interp = (ocp.mayer is not None) and not has_tf
 
     NS = mesh.num_segments
     # unit-segment composite operators: built once in numpy float64
@@ -217,8 +230,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
 
     def eq_fn(z, prm):
         """Collocation defects Dg@X~ - scale*f/sx at every node, row-major
-        (N,nx) flattened (ref: continuous_ocp.hpp:739-766).  Rows are in
-        scaled state units so defect magnitudes are commensurate."""
+        (N,nx) flattened (ref: continuous_ocp.hpp:739-766), followed by the
+        inter-segment continuity rows on non-boundary-sharing (Radau)
+        meshes.  Rows are in scaled state units so defect magnitudes are
+        commensurate."""
         X, U, P = _unscale(z)
         t = _times(prm, z.dtype)
         d = prm["d"]
@@ -227,7 +242,11 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
         Dg = jnp.asarray(Dg_unit, z.dtype)
         sxj = jnp.asarray(sx, z.dtype)
-        return (Dg @ (X / sxj) - scale * f / sxj).reshape(-1)
+        rows = (Dg @ (X / sxj) - scale * f / sxj).reshape(-1)
+        if n_cont:
+            cont = (jnp.asarray(Rcont, z.dtype) @ (X / sxj)).reshape(-1)
+            rows = jnp.concatenate([rows, cont])
+        return rows
 
     def cost_fn(z, prm):
         """Quadrature Lagrange cost + Mayer at the final node
@@ -246,7 +265,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
             total = total + scale * (jnp.asarray(w_unit, z.dtype) @ L)
         if ocp.mayer is not None:
-            total = total + ocp.mayer(X[-1], P, d)
+            x_end = X[-1] if has_tf else jnp.asarray(r_tf, z.dtype) @ X
+            total = total + ocp.mayer(x_end, P, d)
         if ocp.trajectory_cost is not None:
             total = total + ocp.trajectory_cost(
                 X, U, P, d, t, _spectral_ops(prm, z.dtype))
@@ -279,6 +299,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
     # Per-node derivative work is O(N * (nx+nu+np)^2) instead of O(n^2) whole-
     # vector AD.
     KD = np.kron(Dg_unit, np.eye(nx))          # (N*nx, N*nx), static
+    # continuity rows are linear with a constant Jacobian (Radau meshes)
+    KC = np.concatenate(
+        [np.kron(Rcont, np.eye(nx)), np.zeros((n_cont, N * nu + np_))],
+        axis=1) if n_cont else None
     q_xu = nx + nu
     eyeN = np.eye(N)
 
@@ -313,7 +337,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         cols = [Jx, Ju]
         if np_:
             cols.append(-scale * fp.reshape(N * nx, np_))
-        return jnp.concatenate(cols, axis=1)
+        J = jnp.concatenate(cols, axis=1)
+        if n_cont:
+            J = jnp.concatenate([J, jnp.asarray(KC, z.dtype)], axis=0)
+        return J
 
     def cost_grad_fn(z, prm):
         return jax.grad(lambda zz: cost_fn(zz, prm))(z)
@@ -331,7 +358,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             val = val + scale * wk * ocp.lagrange(x, u, p, d, tk)
         f_t = ocp.dynamics(x, u, p, d, tk) / jnp.asarray(sx, dtype)
         val = val - scale * (lam_k @ f_t)
-        if ocp.mayer is not None:
+        if ocp.mayer is not None and has_tf:
+            # when tf is not a node the Mayer term couples the last
+            # segment's nodes through the interpolation row — handled by the
+            # trajectory-level dense Hessian path below, not per node
             val = val + jnp.where(is_last, ocp.mayer(x, p, d),
                                   jnp.zeros((), dtype))
         if ocp.ineq is not None:
@@ -343,7 +373,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         jax.hessian: O(N q^2) instead of O(n^2) derivative passes)."""
         X, U, P, t, d = _node_parts(z, prm)
         dtype = z.dtype
-        lam_eq = lam[:ne].reshape(N, nx) if ne else jnp.zeros((N, nx), dtype)
+        # only the N*nx defect duals carry curvature; continuity rows
+        # (Radau meshes) are linear and contribute nothing to the Hessian
+        lam_eq = lam[:N * nx].reshape(N, nx) if ne \
+            else jnp.zeros((N, nx), dtype)
         mu = lam[ne:ne + N * ng].reshape(N, ng) if ng \
             else jnp.zeros((N, 0), dtype)
         wk = jnp.asarray(w_unit, dtype)
@@ -380,7 +413,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         mid = jnp.concatenate([XU.T, UU], axis=1)
         return jnp.concatenate([top, mid], axis=0)
 
-    if ocp.trajectory_cost is not None or ocp.trajectory_ineq is not None:
+    if ocp.trajectory_cost is not None or ocp.trajectory_ineq is not None \
+            or mayer_interp:
         # trajectory-level terms couple nodes: add their exact (dense)
         # Hessian on top of the block-structured node Hessian
         _node_lag_hessian = lag_hessian_fn
@@ -392,6 +426,9 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             val = jnp.zeros((), z.dtype)
             if ocp.trajectory_cost is not None:
                 val = val + ocp.trajectory_cost(X, U, P, prm["d"], t, ops)
+            if mayer_interp:
+                val = val + ocp.mayer(jnp.asarray(r_tf, z.dtype) @ X, P,
+                                      prm["d"])
             if ocp.trajectory_ineq is not None:
                 val = val + mu_t @ ocp.trajectory_ineq(X, U, P, prm["d"],
                                                        t, ops)
@@ -497,6 +534,10 @@ def ocp_bounds(tr: Transcription,
         Xl = Xl.at[0].set(x0)
         Xu = Xu.at[0].set(x0)
     if xf is not None:
+        if not tr.mesh.basis.has_right_endpoint:
+            raise ValueError(
+                "terminal-state pinning needs tf in the node set (Lobatto "
+                "or flipped Radau); this mesh's last node is interior")
         xf = jnp.asarray(xf, dtype) / sx
         Xl = Xl.at[-1].set(xf)
         Xu = Xu.at[-1].set(xf)

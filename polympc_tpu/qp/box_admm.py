@@ -67,6 +67,57 @@ def rho_vector(rho_base, al, au, settings: ADMMSettings):
     return jnp.clip(rho, settings.rho_min, settings.rho_max)
 
 
+def _support(b, v):
+    """Support-function term sum_i b_i v_i with the convention 0*inf = 0.
+    Infinite bounds hit by a nonzero certificate direction yield +inf, which
+    correctly fails the infeasibility test (OSQP §3.4)."""
+    return jnp.sum(jnp.where(v == 0.0, 0.0, b * v)) if b.size else \
+        jnp.zeros(())
+
+
+def _infeasibility_certificates(qp: QPData, dx, dy, dyb, eps_inf):
+    """OSQP §3.4 primal/dual infeasibility tests on the per-epoch primal and
+    dual *increments* (the divergent rays of an infeasible problem).
+
+    Returns (primal_infeasible, dual_infeasible) booleans.  The reference
+    surfaces these only through its OSQP bridge's status mapping
+    (osqp_interface.hpp:92-101, qp_base.hpp:55-62); the native boxADMM there
+    has no certificates — this closes that gap for the TPU solver, box rows
+    included (they behave as identity rows of A).
+    """
+    m = dy.shape[0]
+    # --- primal: delta_y = (dy, dyb) with A' dy + dyb ~ 0 and negative
+    #     support  u'(dy)_+ + l'(dy)_-  (certificate of no feasible point)
+    nrm_y = jnp.maximum(_inf_norm(dy), _inf_norm(dyb))
+    Atdy = (qp.A.T @ dy if m else jnp.zeros_like(dyb)) + dyb
+    supp_p = (_support(qp.au, jnp.maximum(dy, 0.0))
+              + _support(qp.al, jnp.minimum(dy, 0.0))
+              + _support(qp.xu, jnp.maximum(dyb, 0.0))
+              + _support(qp.xl, jnp.minimum(dyb, 0.0)))
+    prim_inf = (nrm_y > 0.0) \
+        & (_inf_norm(Atdy) <= eps_inf * nrm_y) \
+        & (supp_p <= -eps_inf * nrm_y)
+
+    # --- dual: delta_x with H dx ~ 0, h'dx < 0, and A dx inside the
+    #     recession cone of the constraint set (unbounded descent ray)
+    nrm_x = _inf_norm(dx)
+    Adx = qp.A @ dx if m else jnp.zeros(0, dx.dtype)
+    tol = eps_inf * nrm_x
+
+    def _cone_ok(v, lo, up):
+        # rows with finite upper bound need v <= tol; finite lower: v >= -tol
+        up_ok = jnp.where(jnp.isfinite(up), v <= tol, True)
+        lo_ok = jnp.where(jnp.isfinite(lo), v >= -tol, True)
+        return jnp.all(up_ok & lo_ok) if v.size else jnp.asarray(True)
+
+    dual_inf = (nrm_x > 0.0) \
+        & (_inf_norm(qp.H @ dx) <= tol) \
+        & (qp.h @ dx <= -tol) \
+        & _cone_ok(Adx, qp.al, qp.au) \
+        & _cone_ok(dx, qp.xl, qp.xu)
+    return prim_inf, dual_inf
+
+
 def _build_kkt(qp: QPData, rho, rho_box, sigma):
     n, m = infer_dims(qp)
     dt = qp.H.dtype
@@ -210,7 +261,8 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         return rho, jnp.clip(rb, settings.rho_min, settings.rho_max)
 
     def epoch_body(carry):
-        x, z, q, y, yb, rho_base, epoch, done, rp, rd, div = carry
+        (x, z, q, y, yb, rho_base, epoch, done, rp, rd, div,
+         pinf, dinf) = carry
         rho, rb = make_rho(rho_base)
         kkt = _build_kkt(qp, rho, rb, settings.sigma)
         if settings.kkt_solver == "pallas":
@@ -271,6 +323,13 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         conv = (rp2 <= eps_p) & (rd2 <= eps_d)
         div2 = div | ~finite
 
+        # infeasibility certificates on the epoch increments (OSQP §3.4);
+        # an infeasible problem's iterates diverge along the certificate ray
+        pinf2, dinf2 = _infeasibility_certificates(
+            qp, x2 - x, y2 - y, yb2 - yb, settings.eps_inf)
+        pinf2 = pinf | (pinf2 & finite & ~conv)
+        dinf2 = dinf | (dinf2 & finite & ~conv)
+
         if settings.adaptive_rho:
             # rho <- rho*sqrt(relative primal/dual residual ratio)
             # (ref: box_admm.hpp:433-445; OSQP eq. 28)
@@ -283,12 +342,15 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         else:
             rho_next = rho_base
 
-        # freeze state once converged (vmap lanes finish independently)
+        # freeze state once converged (vmap lanes finish independently);
+        # a certified-infeasible lane also stops iterating
         keep = done
         out = tuple(jnp.where(keep, a, b) for a, b in
-                    zip((x, z, q, y, yb, rho_base, epoch, done, rp, rd, div),
+                    zip((x, z, q, y, yb, rho_base, epoch, done, rp, rd, div,
+                         pinf, dinf),
                         (x2, z2, q2, y2, yb2, rho_next, epoch + 1,
-                         conv | div2, rp2, rd2, div2)))
+                         conv | div2 | pinf2 | dinf2, rp2, rd2, div2,
+                         pinf2, dinf2)))
         return out
 
     def epoch_cond(carry):
@@ -297,9 +359,11 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
 
     init = (x, z, q, y, yb, rho0, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt), jnp.zeros((), bool))
+            jnp.asarray(jnp.inf, dt), jnp.zeros((), bool),
+            jnp.zeros((), bool), jnp.zeros((), bool))
     (x, z, q, y, yb, rho_base, epochs, done, rp, rd,
-     diverged) = jax.lax.while_loop(epoch_cond, epoch_body, init)
+     diverged, prim_inf, dual_inf) = jax.lax.while_loop(
+        epoch_cond, epoch_body, init)
 
     if settings.polish:
         x, y, yb, rp, rd = _polish(qp, x, y, yb, rp, rd, settings)
@@ -309,9 +373,16 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
             _inf_norm(qp.H @ x), _inf_norm(qp.h))
         done = done | ((rp <= eps_p) & (rd <= eps_d) & ~diverged)
 
+    # status vocabulary mirrors qp_base.hpp:55-62 via the OSQP mapping
+    # (osqp_interface.hpp:92-101): primal infeasible -> INFEASIBLE; the
+    # dual-infeasible (unbounded) certificate gets the finer INCONSISTENT
     status = jnp.where(
         diverged, st.UNSOLVED,
-        jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED)).astype(jnp.int32)
+        jnp.where(prim_inf, st.INFEASIBLE,
+                  jnp.where(dual_inf, st.INCONSISTENT,
+                            jnp.where(done, st.SOLVED,
+                                      st.MAX_ITER_EXCEEDED)))).astype(
+        jnp.int32)
     iters = (epochs * settings.check_every).astype(jnp.int32)
     rho_final, _ = make_rho(rho_base)
 

@@ -267,3 +267,60 @@ def test_ip_vmap():
         xl=jnp.broadcast_to(qp.xl, (B, 2)), xu=jnp.broadcast_to(qp.xu, (B, 2)))
     sols = jax.vmap(lambda q: qp_ip_solve(q))(batched)
     assert np.all(np.asarray(sols.status) == st.SOLVED)
+
+
+# ---- infeasibility certificates (OSQP §3.4; ref status surface
+# qp_base.hpp:55-62 + osqp_interface.hpp:92-101) ----
+
+def test_primal_infeasible_certificate():
+    # x in [1, 2] (box) but A x = x <= 0 (row): no feasible point
+    inf = jnp.inf
+    qp = QPData(H=jnp.eye(1), h=jnp.zeros(1),
+                A=jnp.eye(1), al=jnp.array([-inf]), au=jnp.array([0.0]),
+                xl=jnp.array([1.0]), xu=jnp.array([2.0]))
+    sol = box_admm_solve(qp, settings=ADMMSettings(max_epochs=40,
+                                                   polish=False))
+    assert int(sol.status) == st.INFEASIBLE
+
+
+def test_primal_infeasible_certificate_2d():
+    # contradictory rows: x0 + x1 >= 3 and x0 + x1 <= 1
+    inf = jnp.inf
+    qp = QPData(H=jnp.eye(2), h=jnp.zeros(2),
+                A=jnp.array([[1.0, 1.0], [1.0, 1.0]]),
+                al=jnp.array([3.0, -inf]), au=jnp.array([inf, 1.0]),
+                xl=jnp.full(2, -inf), xu=jnp.full(2, inf))
+    sol = box_admm_solve(qp, settings=ADMMSettings(max_epochs=40,
+                                                   polish=False))
+    assert int(sol.status) == st.INFEASIBLE
+
+
+def test_dual_infeasible_certificate():
+    # min -x, x free: unbounded below -> dual infeasible (INCONSISTENT)
+    inf = jnp.inf
+    qp = QPData(H=jnp.zeros((1, 1)), h=jnp.array([-1.0]),
+                A=jnp.zeros((0, 1)), al=jnp.zeros(0), au=jnp.zeros(0),
+                xl=jnp.array([-inf]), xu=jnp.array([inf]))
+    sol = box_admm_solve(qp, settings=ADMMSettings(max_epochs=40,
+                                                   polish=False))
+    assert int(sol.status) == st.INCONSISTENT
+
+
+def test_feasible_qp_not_flagged_infeasible():
+    # the simple oracle QP must still report SOLVED with certificates on
+    sol = box_admm_solve(simple_qp(), settings=ADMMSettings(max_epochs=40))
+    assert int(sol.status) == st.SOLVED
+
+
+def test_infeasibility_under_vmap():
+    inf = jnp.inf
+    # lane 0 feasible, lane 1 infeasible (box [1,2] vs row x <= 0 / x <= 5)
+    qp = QPData(H=jnp.broadcast_to(jnp.eye(1), (2, 1, 1)),
+                h=jnp.zeros((2, 1)),
+                A=jnp.broadcast_to(jnp.eye(1), (2, 1, 1)),
+                al=jnp.array([[-inf], [-inf]]), au=jnp.array([[5.0], [0.0]]),
+                xl=jnp.ones((2, 1)), xu=jnp.full((2, 1), 2.0))
+    s = ADMMSettings(max_epochs=40, polish=False)
+    sols = jax.vmap(lambda q: box_admm_solve(q, settings=s))(qp)
+    assert int(sols.status[0]) == st.SOLVED
+    assert int(sols.status[1]) == st.INFEASIBLE
