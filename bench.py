@@ -1,19 +1,33 @@
 """Headline benchmark: batched kite path-following NMPC solves/s/chip.
 
 BASELINE.json north star: batched kite NMPF at >= 10k SQP-converged solves/s
-on a v5e-16 => 625 solves/s/chip.  This harness solves B independent
-augmented kite OCP instances (random initial conditions around the path) per
-jitted call on the default JAX device(s) and reports converged solves/s.
+on a v5e-16 => 625 solves/s/chip, with residual parity to the reference's
+Ipopt tolerance 1e-6 (ipopt_interface.hpp:403).  This harness solves B
+independent augmented kite OCP instances (random initial conditions around
+the path) per jitted call, then refines every solution with two fp64
+Newton-KKT steps (nlp/refine.py) and certifies the unscaled KKT infinity
+norm.  A solve only counts if its status is SOLVED *and* its certified
+residual is <= 1e-6 — the refinement and certification are inside the timed
+pipeline, so the headline number is for delivered-at-1e-6 solutions.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "extra": {..., "kkt_residual_max": max certified residual over counted
+   solves}}
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
+
+# x64 is enabled ONLY around the certification pass (jax.enable_x64
+# context): a global flag would make fori_loop indices int64 inside the
+# fp32 Pallas solve kernels, which Mosaic cannot lower
+sys.setrecursionlimit(100000)
+
 import jax.numpy as jnp
 
 
@@ -22,6 +36,7 @@ def main():
     from polympc_tpu.control.nmpf import augment_ocp
     from polympc_tpu.models import kite_dynamics, kite_output, kite_path
     from polympc_tpu.nlp import SQPSettings
+    from polympc_tpu.nlp.refine import kkt_residual, refine_solution
     from polympc_tpu.ocp import transcribe, ocp_bounds
     from polympc_tpu.parallel import make_batch_solver
     from polympc_tpu.qp.types import ADMMSettings
@@ -85,31 +100,65 @@ def main():
     # dynamics-rollout initial guess (jitted; part of the timed solve cost)
     rollout = jax.jit(jax.vmap(lambda x0: tr.rollout_guess(x0, prm)))
 
+    # fp64 refinement + certification pass (jitted, vmapped, timed): two
+    # Newton-KKT steps from the fp32 solution, then the unscaled KKT
+    # infinity norm at 1e-6 (the reference's Ipopt tol)
+    with jax.enable_x64():
+        prm64 = tr.params(d=[0.05], t0=0.0, tf=2.0, dtype=jnp.float64)
+        bounds64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64), bounds)
+
+        @jax.jit
+        def certify(x0s, sols_x, sols_lam, sols_lam_box):
+            nx = tr.ocp.nx
+            sx64 = jnp.asarray(tr.x_scale, jnp.float64)
+
+            def one(x0, z, lam, lam_box):
+                x0s_ = jnp.asarray(x0, jnp.float64) / sx64
+                b = bounds64._replace(lbx=bounds64.lbx.at[:nx].set(x0s_),
+                                      ubx=bounds64.ubx.at[:nx].set(x0s_))
+                # f32 inner solve (TPU XLA LU is fp32-only) + f64 residuals
+                # = mixed-precision iterative refinement
+                z2, l2, lb2 = refine_solution(tr.nlp, z, lam, lam_box, b,
+                                              prm64, iters=3,
+                                              solve_dtype=jnp.float32)
+                return kkt_residual(tr.nlp, z2, l2, lb2, b, prm64).max
+            return jax.vmap(one)(x0s, sols_x, sols_lam, sols_lam_box)
+
     # warmup / compile
     z0s = rollout(x0s)
     sols = solve(x0s, z0s)
-    jax.block_until_ready(sols.x)
+    with jax.enable_x64():
+        kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
+    jax.block_until_ready(kkt)
 
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         z0s = rollout(x0s)
         sols = solve(x0s, z0s)
-        jax.block_until_ready(sols.x)
+        with jax.enable_x64():
+            kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
+        jax.block_until_ready(kkt)
     dt = (time.perf_counter() - t0) / reps
 
-    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    kkt_np = np.asarray(kkt)
+    ok = (np.asarray(sols.status) == st.SOLVED) & (kkt_np <= 1e-6)
+    solved = int(ok.sum())
     solves_per_s = solved / dt
     per_chip = solves_per_s / max(1, len(jax.devices()))
 
     # north star: 10k solves/s on 16 chips -> 625 /s/chip
     print(json.dumps({
-        "metric": "kite_nmpf_converged_solves_per_s_per_chip",
+        "metric": "kite_nmpf_certified_1e-6_solves_per_s_per_chip",
         "value": round(per_chip, 2),
         "unit": "solves/s/chip",
         "vs_baseline": round(per_chip / 625.0, 4),
         "extra": {
-            "batch": B, "solved": solved, "wall_s_per_batch": round(dt, 4),
+            "batch": B, "solved": solved,
+            "kkt_residual_max": float(kkt_np[ok].max()) if solved else None,
+            "kkt_tol": 1e-6,
+            "wall_s_per_batch": round(dt, 4),
             "devices": len(jax.devices()),
             "platform": jax.default_backend(),
             "mean_sqp_iters": float(np.asarray(sols.iters).mean()),

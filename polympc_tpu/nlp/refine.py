@@ -105,10 +105,20 @@ def kkt_residual(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None
 
 
 @full_precision
-@functools.partial(jax.jit, static_argnames=("nlp", "iters", "act_tol"))
+@functools.partial(jax.jit,
+                   static_argnames=("nlp", "iters", "act_tol", "solve_dtype"))
 def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
-                    iters: int = 2, act_tol: float = 1e-3):
+                    iters: int = 2, act_tol: float = 1e-3,
+                    solve_dtype=None):
     """Newton-KKT refinement in fp64 from an fp32 (or loose fp64) solution.
+
+    ``solve_dtype`` controls the precision of the inner linear solve only:
+    residuals, Jacobians and iterates always live in fp64.  On TPU, where
+    XLA's LU factorisation is fp32-only, pass ``solve_dtype=jnp.float32``
+    — that is textbook mixed-precision iterative refinement (high-precision
+    residuals + low-precision factorisation), which still converges to
+    fp64-accurate KKT points as long as kappa(K)*eps_f32 < 1; each step
+    cuts the residual by that factor, so bump ``iters`` to 3.
 
     Freezes the active set detected at the input point, then runs ``iters``
     exact-Hessian Newton steps on the square active-set KKT system
@@ -125,6 +135,7 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     per-instance by comparing before/after residuals.
     """
     f64 = jnp.float64
+    sd = f64 if solve_dtype is None else solve_dtype
     z = z.astype(f64)
     lam = lam.astype(f64)
     lam_box = lam_box.astype(f64)
@@ -186,7 +197,7 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
                 [jnp.diag(ax), jnp.diag(1.0 - ax) - delta * jnp.diag(ax)],
             ])
             r = jnp.concatenate([r1, r3])
-        sol = jnp.linalg.solve(K, -r)
+        sol = jnp.linalg.solve(K.astype(sd), (-r).astype(sd)).astype(f64)
         dz = sol[:n]
         dlam = sol[n:n + m]
         dlb = sol[n + m:]
