@@ -155,6 +155,28 @@ class Transcription:
         X = jnp.concatenate([jnp.asarray(x0, dtype)[None], X_tail], axis=0)
         return self.pack(X, U, P if ocp.np_ else None)
 
+    def bbt_structure(self):
+        """BBT permutation metadata of this transcription's boxADMM KKT
+        (ops/structure.py) — hand it to ``ADMMSettings(structure=...)`` with
+        ``kkt_solver="pallas"`` to run the structured KKT kernel, the
+        TPU-native analogue of the reference's sparse path
+        (continuous_ocp.hpp:341-376).
+
+        Returns None when the KKT is not bordered-block-tridiagonal:
+        trajectory-level hooks couple nodes densely, Radau meshes add
+        continuity rows, and soft-defect transcriptions have no defect
+        duals at all.
+        """
+        from polympc_tpu.ops.structure import bbt_structure as _bbt
+        ocp = self.ocp
+        if (not self.mesh.shares_boundary
+                or ocp.trajectory_cost is not None
+                or ocp.trajectory_ineq is not None
+                or self.nlp.eq is None):
+            return None
+        return _bbt(self.N, ocp.nx, ocp.nu, ocp.ng, ocp.np_, ocp.ntg,
+                    self.mesh.order, self.mesh.num_segments)
+
     def params(self, p=None, d=None, t0=0.0, tf=1.0, dtype=jnp.float64):
         return {
             "p": jnp.zeros(self.ocp.np_, dtype) if p is None

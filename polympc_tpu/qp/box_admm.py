@@ -149,15 +149,20 @@ def _residuals(qp: QPData, x, z, q, y, yb):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_epoch_fn(sigma, alpha, iters):
+def _make_epoch_fn(sigma, alpha, iters, structure=None):
     """One ADMM epoch (fixed rho: ``iters`` iterations on a pre-built KKT)
     as a ``custom_vmap`` function: solo/unvmapped calls run the LU path
     below; under ``vmap`` (the batched-MPC hot path) the whole epoch runs as
-    the fused lane-batched Pallas kernel with the LDL^T factor VMEM-resident
-    (ops/admm_epoch.py)."""
+    a fused lane-batched Pallas kernel with the factor VMEM-resident — the
+    bordered-block-tridiagonal kernel (ops/bbt_kernel.py) when the caller
+    supplied the collocation ``structure``, the dense LDL^T epoch
+    (ops/admm_epoch.py) otherwise."""
     from jax.custom_batching import custom_vmap
     from polympc_tpu.ops.admm_epoch import (
         admm_epoch_batched, epoch_kernel_fits,
+    )
+    from polympc_tpu.ops.bbt_kernel import (
+        bbt_admm_epoch_batched, bbt_kernel_fits,
     )
 
     def _epoch_impl(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
@@ -192,11 +197,15 @@ def _make_epoch_fn(sigma, alpha, iters):
         args = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
                 for a, b in zip(args, in_batched)]
         n, m = args[1].shape[-1], args[2].shape[-1]
-        if epoch_kernel_fits(n, m):
+        if (structure is not None and structure.n == n and structure.m == m
+                and bbt_kernel_fits(structure)):
+            out = bbt_admm_epoch_batched(*args, st=structure, sigma=sigma,
+                                         alpha=alpha, iters=iters)
+        elif epoch_kernel_fits(n, m):
             out = admm_epoch_batched(*args, sigma=sigma, alpha=alpha,
                                      iters=iters)
         else:
-            # KKT too large for the fused kernel's VMEM working set:
+            # KKT too large for the fused kernels' VMEM working sets:
             # fall back to the vmapped LU epoch
             out = jax.vmap(_epoch_impl)(*args)
         return out, (True,) * 5
@@ -267,7 +276,8 @@ def _box_admm_raw(qp: QPData, x0, y0, yb0,
         kkt = _build_kkt(qp, rho, rb, settings.sigma)
         if settings.kkt_solver == "pallas":
             ep = _make_epoch_fn(float(settings.sigma), float(settings.alpha),
-                                int(settings.check_every))
+                                int(settings.check_every),
+                                settings.structure)
             x2, z2, q2, y2, yb2 = ep(kkt, qp.h, qp.al, qp.au, qp.xl, qp.xu,
                                      rho, rb, x, z, q, y, yb)
         else:

@@ -72,6 +72,13 @@ class ADMMSettings:
     # LDL^T factor + check_every iterations entirely in VMEM
     # (ops/admm_epoch.py) — the TPU-native choice for large batches.
     kkt_solver: str = "lu"       # "lu" | "inverse" | "pallas"
+    # Collocation BBT structure (ops/structure.py:bbt_structure, or
+    # Transcription.bbt_structure()).  When set with kkt_solver="pallas",
+    # the batched epoch runs the bordered-block-tridiagonal kernel
+    # (ops/bbt_kernel.py) instead of the dense LDL^T: the TPU-native
+    # analogue of the reference's sparse KKT path
+    # (continuous_ocp.hpp:341-376 nnz structure + SimplicialLDLT).
+    structure: object = None     # Optional[CollocStructure], hashable
 
     # constraint classification thresholds (ref: qp_base.hpp:124-222)
     loose_bound: float = 1e10

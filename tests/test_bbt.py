@@ -27,7 +27,7 @@ from polympc_tpu.ops.structure import (
     bbt_structure, gather_blocks, scatter_solution, bbt_solve_jnp,
 )
 from polympc_tpu.qp.box_admm import _build_kkt
-from polympc_tpu.qp.types import QPData
+from polympc_tpu.qp.types import ADMMSettings, QPData
 
 
 def _kite_tr(segments=2):
@@ -177,6 +177,41 @@ def test_bbt_pallas_solve_f64():
     x_ref = jnp.linalg.solve(K, b)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
                                atol=1e-9, rtol=1e-9)
+
+
+def test_bbt_end_to_end_sqp_matches_lu():
+    """Batched robot NMPC through SQP with the structured KKT path
+    (kkt_solver="pallas" + structure, interpret mode on CPU) must match the
+    plain LU path — the full-stack dense_sparse_compare analogue."""
+    from polympc_tpu.models import robot_ocp
+    from polympc_tpu.nlp import SQPSettings
+    from polympc_tpu.ocp import ocp_bounds
+    from polympc_tpu.parallel import make_batch_solver
+    from polympc_tpu.utils import status as status_mod
+
+    tr = transcribe(robot_ocp(), SegmentedBasis(Chebyshev(5), 2))
+    prm = tr.params(d=[2.0], t0=0.0, tf=2.0)
+    bounds = ocp_bounds(tr, ul=[-1.5, -0.75], uu=[1.5, 0.75])
+    st = tr.bbt_structure()
+    assert st is not None and st.n == tr.nlp.n and st.m == tr.nlp.m
+
+    qp_bbt = dataclasses.replace(
+        ADMMSettings(eps_abs=1e-6, eps_rel=1e-6, max_epochs=30),
+        kkt_solver="pallas", structure=st)
+    qp_lu = dataclasses.replace(qp_bbt, kkt_solver="lu", structure=None)
+    rng = np.random.default_rng(5)
+    x0s = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 3)))
+
+    sols = {}
+    for name, qp in (("bbt", qp_bbt), ("lu", qp_lu)):
+        settings = SQPSettings(hessian="exact", max_iter=40, qp=qp)
+        solve = make_batch_solver(tr, bounds, prm, settings)
+        sols[name] = solve(x0s)
+    assert np.all(np.asarray(sols["bbt"].status) == status_mod.SOLVED)
+    np.testing.assert_allclose(np.asarray(sols["bbt"].x),
+                               np.asarray(sols["lu"].x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sols["bbt"].cost),
+                               np.asarray(sols["lu"].cost), rtol=1e-6)
 
 
 @pytest.mark.parametrize("mk,segments", [(_kite_tr, 2), (_parking_tr, 2)])
