@@ -58,13 +58,20 @@ def _ar(st: CollocStructure) -> int:
 
 def bbt_kernel_fits(st: CollocStructure, bytes_per: int = 4,
                     budget: int = 88 * 1024 * 1024) -> bool:
-    """VMEM feasibility of the fused BBT epoch kernel (per lane tile)."""
+    """VMEM feasibility of the fused BBT epoch kernel.
+
+    The batch is processed in single-tile (128-lane, grid-free) kernel
+    calls — no pipelining, so the working set is exactly one copy of each
+    buffer: Td in + the aliased factor out, both Oh layouts, Ct/Dp, the
+    W/V/Gp/d/u scratch, and the 22 lane vectors.
+    """
     S, k = st.S, st.k
-    nxr, ar = st.nxr, _ar(st)
+    nxr = st.nxr
+    ar = _ar(st) if st.a else 8                  # kernel pads ar_eff to 8
     per_lane = (2 * S * k * k                    # Td in + factor alias out
-                + 2 * S * k * nxr + S * nxr * k  # Oh both layouts + W
-                + 2 * S * ar * k + 2 * ar * ar   # Ct, V, Dp, Gp
-                + 24 * S * k + 16 * ar) * bytes_per
+                + 3 * S * k * nxr                # Oh both layouts + W scratch
+                + 2 * S * ar * k + 2 * ar * ar   # Ct + V scratch, Dp + Gp
+                + 14 * S * k + 12 * ar) * bytes_per
     return per_lane * LANES <= budget
 
 
@@ -435,6 +442,32 @@ def _unlanes(v):
     return jnp.moveaxis(v, -1, 0)
 
 
+def _map_lane_chunks(one_tile, n_chunks: int, args):
+    """Run a single-tile (128-lane) kernel over the batch in chunks.
+
+    Lane-layout arrays (..., n_chunks*LANES) are split along the trailing
+    lane axis and the kernel runs once per chunk via ``lax.map`` — each
+    call is grid-free, so Mosaic allocates exactly one VMEM window per
+    buffer (no double-buffered pipelining, which at S >= 8 would blow the
+    scoped-VMEM budget).  Outputs are re-joined along the lane axis.
+    """
+    if n_chunks == 1:
+        return one_tile(args)
+
+    def split(v):
+        # (..., C*LANES) -> (C, ..., LANES)
+        vc = v.reshape(v.shape[:-1] + (n_chunks, LANES))
+        return jnp.moveaxis(vc, -2, 0)
+
+    outs = jax.lax.map(one_tile, tuple(split(v) for v in args))
+
+    def join(v):
+        # (C, ..., LANES) -> (..., C*LANES)
+        return jnp.moveaxis(v, 0, -2).reshape(v.shape[1:-1] + (-1,))
+
+    return tuple(join(o) for o in outs)
+
+
 @functools.partial(
     jax.jit, static_argnames=("st", "sigma", "alpha", "iters", "interpret"))
 def bbt_admm_epoch_batched(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb,
@@ -539,39 +572,47 @@ def bbt_admm_epoch_batched(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb,
     Sk = S * k
 
     def mat_spec(rows, cols):
-        return pl.BlockSpec((rows, cols, lanes), lambda b: (0, 0, b),
+        return pl.BlockSpec((rows, cols, lanes), lambda: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def vec_spec(rows):
-        return pl.BlockSpec((rows, lanes), lambda b: (0, b),
+        return pl.BlockSpec((rows, lanes), lambda: (0, 0),
                             memory_space=pltpu.VMEM)
 
     body = functools.partial(_epoch_body, st, float(sigma), float(alpha),
                              int(iters))
-    outs = pl.pallas_call(
-        body,
-        grid=(Bp // lanes,),
-        in_specs=[mat_spec(Sk, k), mat_spec(Sk, nxr), mat_spec(S * nxr, k),
-                  mat_spec(S * ar_eff, k), mat_spec(ar_eff, ar_eff)]
-        + [vec_spec(Sk)] * 8 + [vec_spec(ar_eff)] * 8,
-        out_specs=(vec_spec(Sk),) * 3 + (vec_spec(ar_eff),) * 3
-        + (mat_spec(Sk, k),),
-        out_shape=(jax.ShapeDtypeStruct((Sk, Bp), dt),) * 3
-        + (jax.ShapeDtypeStruct((ar_eff, Bp), dt),) * 3
-        + (jax.ShapeDtypeStruct((Sk, k, Bp), dt),),
-        input_output_aliases={0: 6},   # Td buffer reused as the factor
-        scratch_shapes=[
-            pltpu.VMEM((Sk, lanes), dt),                # d
-            pltpu.VMEM((S * nxr, k, lanes), dt),        # W
-            pltpu.VMEM((S * ar_eff, k, lanes), dt),     # V
-            pltpu.VMEM((ar_eff, ar_eff, lanes), dt),    # Gp
-            pltpu.VMEM((Sk, lanes), dt),                # u
-        ],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(Tdl, ohml, ohsl, ctl, Dpl,
-      hml, loml, himl, rvml, pmml, xml, vml, yvml,
-      hbl, lobl, hibl, rvbl, pmbl, xbl, vbl, yvbl)
+
+    def one_tile(args):
+        """Single 128-lane tile (no grid => no double-buffered windows:
+        the VMEM working set is exactly one copy of each buffer)."""
+        return pl.pallas_call(
+            body,
+            in_specs=[mat_spec(Sk, k), mat_spec(Sk, nxr),
+                      mat_spec(S * nxr, k), mat_spec(S * ar_eff, k),
+                      mat_spec(ar_eff, ar_eff)]
+            + [vec_spec(Sk)] * 8 + [vec_spec(ar_eff)] * 8,
+            out_specs=(vec_spec(Sk),) * 3 + (vec_spec(ar_eff),) * 3
+            + (mat_spec(Sk, k),),
+            out_shape=(jax.ShapeDtypeStruct((Sk, lanes), dt),) * 3
+            + (jax.ShapeDtypeStruct((ar_eff, lanes), dt),) * 3
+            + (jax.ShapeDtypeStruct((Sk, k, lanes), dt),),
+            input_output_aliases={0: 6},   # Td buffer reused as the factor
+            scratch_shapes=[
+                pltpu.VMEM((Sk, lanes), dt),                # d
+                pltpu.VMEM((S * nxr, k, lanes), dt),        # W
+                pltpu.VMEM((S * ar_eff, k, lanes), dt),     # V
+                pltpu.VMEM((ar_eff, ar_eff, lanes), dt),    # Gp
+                pltpu.VMEM((Sk, lanes), dt),                # u
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(*args)
+
+    outs = _map_lane_chunks(
+        one_tile, Bp // lanes,
+        (Tdl, ohml, ohsl, ctl, Dpl,
+         hml, loml, himl, rvml, pmml, xml, vml, yvml,
+         hbl, lobl, hibl, rvbl, pmbl, xbl, vbl, yvbl))
     xo, vo, yvo, xbo, vbo, yvbo, _ = outs
 
     # ---- un-permute back to (x, z, q, y, yb) batch-major ----
@@ -630,37 +671,41 @@ def bbt_solve_batched(kkt, b, *, st: CollocStructure, interpret=None):
     lanes = LANES
 
     def mat_spec(rows, cols):
-        return pl.BlockSpec((rows, cols, lanes), lambda bi: (0, 0, bi),
+        return pl.BlockSpec((rows, cols, lanes), lambda: (0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def vec_spec(rows):
-        return pl.BlockSpec((rows, lanes), lambda bi: (0, bi),
+        return pl.BlockSpec((rows, lanes), lambda: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    xo, xpo, _ = pl.pallas_call(
-        body,
-        grid=(Bp // lanes,),
-        in_specs=[mat_spec(Sk, k), mat_spec(Sk, nxr), mat_spec(S * nxr, k),
-                  mat_spec(S * ar_eff, k), mat_spec(ar_eff, ar_eff),
-                  vec_spec(Sk), vec_spec(ar_eff)],
-        out_specs=(vec_spec(Sk), vec_spec(ar_eff), mat_spec(Sk, k)),
-        out_shape=(jax.ShapeDtypeStruct((Sk, Bp), dt),
-                   jax.ShapeDtypeStruct((ar_eff, Bp), dt),
-                   jax.ShapeDtypeStruct((Sk, k, Bp), dt)),
-        input_output_aliases={0: 2},
-        scratch_shapes=[
-            pltpu.VMEM((Sk, lanes), dt),
-            pltpu.VMEM((S * nxr, k, lanes), dt),
-            pltpu.VMEM((S * ar_eff, k, lanes), dt),
-            pltpu.VMEM((ar_eff, ar_eff, lanes), dt),
-            pltpu.VMEM((Sk, lanes), dt),
-        ],
-        compiler_params=_COMPILER_PARAMS,
-        interpret=interpret,
-    )(lane_pad(Td, eye_blocks=True), lane_pad(ohm), lane_pad(ohs),
-      lane_pad(ct),
-      lane_pad(Dp, eye_blocks=True) if a else lane_pad(Dp, eye_blocks=True),
-      lane_pad(bm.reshape(B, Sk)), lane_pad(bb))
+    def one_tile(args):
+        return pl.pallas_call(
+            body,
+            in_specs=[mat_spec(Sk, k), mat_spec(Sk, nxr),
+                      mat_spec(S * nxr, k), mat_spec(S * ar_eff, k),
+                      mat_spec(ar_eff, ar_eff),
+                      vec_spec(Sk), vec_spec(ar_eff)],
+            out_specs=(vec_spec(Sk), vec_spec(ar_eff), mat_spec(Sk, k)),
+            out_shape=(jax.ShapeDtypeStruct((Sk, lanes), dt),
+                       jax.ShapeDtypeStruct((ar_eff, lanes), dt),
+                       jax.ShapeDtypeStruct((Sk, k, lanes), dt)),
+            input_output_aliases={0: 2},
+            scratch_shapes=[
+                pltpu.VMEM((Sk, lanes), dt),
+                pltpu.VMEM((S * nxr, k, lanes), dt),
+                pltpu.VMEM((S * ar_eff, k, lanes), dt),
+                pltpu.VMEM((ar_eff, ar_eff, lanes), dt),
+                pltpu.VMEM((Sk, lanes), dt),
+            ],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(*args)
+
+    xo, xpo, _ = _map_lane_chunks(
+        one_tile, Bp // lanes,
+        (lane_pad(Td, eye_blocks=True), lane_pad(ohm), lane_pad(ohs),
+         lane_pad(ct), lane_pad(Dp, eye_blocks=True),
+         lane_pad(bm.reshape(B, Sk)), lane_pad(bb)))
 
     xm = _unlanes(xo)[:B]
     out = jnp.zeros((B, st.K + 1), dt)

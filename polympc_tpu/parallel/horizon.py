@@ -36,23 +36,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["schur_horizon_solve", "horizon_mesh", "assemble_dense_horizon"]
 
 
-def _interface_system(Sloc, E, F, SX):
+def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
     """From gathered per-segment condensed quantities, build and solve the
-    replicated block-tridiagonal interface system.
+    replicated interface system: block-tridiagonal in the interface
+    multipliers mu, plus an optional dense global border g (optimised
+    parameters — the arrow column of continuous_ocp.hpp:341-376 condensed
+    onto the reduced system).
 
     Sloc: dict of gathered (S, ...) arrays (see _condense_local).
-    Returns mu (S-1, p).
+    G: optional (S-1, p, p) diagonal interface block (e.g. -1/rho for
+       ADMM-relaxed continuity rows: E w_i + F w_{i+1} + G_i mu_i = c_i).
+    Dg/bg: (a, a)/(a,) global block and rhs for rows
+       sum_s C_s' w_s + Dg g = bg.
+    Returns (mu (S-1, p), g (a,)).
     """
     XE, XF, w0 = Sloc["XE"], Sloc["XF"], Sloc["w0"]
     E = jnp.asarray(E)
     F = jnp.asarray(F)
     p = E.shape[0]
     nI = SX - 1
+    a = 0 if Dg is None else Dg.shape[0]
     # diag_i   = E XE_i + F XF_{i+1}
     # lower_i  = E XF_i            (couples mu_{i-1})
     # upper_i  = F XE_{i+1}        (couples mu_{i+1})
     diag = jnp.einsum("pk,ikq->ipq", E, XE[:-1]) \
         + jnp.einsum("pk,ikq->ipq", F, XF[1:])
+    if G is not None:
+        diag = diag - G
     lower = jnp.einsum("pk,ikq->ipq", E, XF[:-1])
     upper = jnp.einsum("pk,ikq->ipq", F, XE[1:])
     rhs = (Sloc["c"] - jnp.einsum("pk,ik->ip", E, w0[:-1])
@@ -61,7 +71,8 @@ def _interface_system(Sloc, E, F, SX):
     # variant is unnecessary at p*(S-1) ~ tens of unknowns
     # seed the accumulator from the (possibly device-varying) data so the
     # fori_loop carry has consistent varying-axis types under shard_map
-    M = jnp.zeros((nI * p, nI * p), XE.dtype) + 0.0 * diag[0, 0, 0]
+    nR = nI * p + a
+    M = jnp.zeros((nR, nR), XE.dtype) + 0.0 * diag[0, 0, 0]
 
     def put(M, i, j, B):
         return jax.lax.dynamic_update_slice(M, B, (i * p, j * p))
@@ -75,29 +86,60 @@ def _interface_system(Sloc, E, F, SX):
         return M
 
     M = jax.lax.fori_loop(0, nI, body, M)
-    mu = jnp.linalg.solve(M, rhs.reshape(-1)).reshape(nI, p)
-    return mu
+    if a:
+        XC = Sloc["XC"]                                   # (S, k, a)
+        C = Sloc["C"]                                     # (S, k, a)
+        # mu-row border columns: -(E XC_i + F XC_{i+1}); symmetric rows
+        colg = -(jnp.einsum("pk,ika->ipa", E, XC[:-1])
+                 + jnp.einsum("pk,ika->ipa", F, XC[1:]))  # (nI, p, a)
+        M = jax.lax.dynamic_update_slice(
+            M, colg.reshape(nI * p, a), (0, nI * p))
+        # C_s' w_s with w_s = w0 - XE mu_s - XF mu_{s-1} - XC g:
+        #   border rows over mu_i collect -(C_i' XE_i + C_{i+1}' XF_{i+1})
+        rows_mu = -(jnp.einsum("ika,ikp->iap", C[:-1], XE[:-1])
+                    + jnp.einsum("ika,ikp->iap", C[1:], XF[1:]))  # (nI, a, p)
+        M = jax.lax.dynamic_update_slice(
+            M, jnp.moveaxis(rows_mu, 1, 0).reshape(a, nI * p), (nI * p, 0))
+        Mgg = Dg - jnp.einsum("ska,skb->ab", C, XC)
+        M = jax.lax.dynamic_update_slice(M, Mgg, (nI * p, nI * p))
+        rhs_g = bg - jnp.einsum("ska,sk->a", C, w0)
+        r = jnp.concatenate([rhs.reshape(-1), rhs_g])
+    else:
+        r = rhs.reshape(-1)
+    sol = jnp.linalg.solve(M, r)
+    mu = sol[:nI * p].reshape(nI, p)
+    g = sol[nI * p:] if a else jnp.zeros((0,), XE.dtype)
+    return mu, g
 
 
-def _condense_local(K, b, E, F):
-    """Per-segment dense elimination: returns K^{-1}E', K^{-1}F', K^{-1}b."""
-    rhs = jnp.concatenate([E.T, F.T, b[:, None]], axis=1)
-    sol = jnp.linalg.solve(K, rhs)
+def _condense_local(K, b, E, F, C=None):
+    """Per-segment dense elimination: returns K^{-1}E', K^{-1}F', K^{-1}b
+    (and K^{-1}C when a global border is present)."""
     p = E.shape[0]
-    return sol[:, :p], sol[:, p:2 * p], sol[:, -1]
+    cols = [E.T, F.T, b[:, None]]
+    if C is not None:
+        cols.append(C)
+    sol = jnp.linalg.solve(K, jnp.concatenate(cols, axis=1))
+    XC = sol[:, 2 * p + 1:] if C is not None else None
+    return sol[:, :p], sol[:, p:2 * p], sol[:, 2 * p], XC
 
 
 def schur_horizon_solve(K, b, E, F, c, mesh: Mesh | None = None,
-                        axis: str = "seg"):
+                        axis: str = "seg", G=None, C=None, Dg=None, bg=None):
     """Solve the segment-coupled KKT system by Schur-complement condensation.
 
     K (S, k, k): per-segment symmetric (quasi-definite) KKT blocks.
     b (S, k): per-segment right-hand sides.
     E, F (p, k): interface pick matrices — interface i enforces
-        E w_i + F w_{i+1} = c_i.
+        E w_i + F w_{i+1} [+ G_i mu_i] = c_i.
     c (S-1, p): interface right-hand sides.
+    G: optional (S-1, p, p) interface diagonal block (ADMM-relaxed
+        continuity rows carry -diag(1/rho)).
+    C/Dg/bg: optional global border (optimised parameters): C (S, k, a)
+        per-segment coupling columns, global rows
+        sum_s C_s' w_s + Dg g = bg with Dg (a, a), bg (a,).
 
-    Returns (w (S, k), mu (S-1, p)).
+    Returns (w (S, k), mu (S-1, p)) — or (w, mu, g) when a border is given.
 
     With ``mesh`` (1-D, axis name ``axis``, S == mesh size), the per-segment
     elimination runs sharded via ``shard_map`` and only the tiny condensed
@@ -108,32 +150,45 @@ def schur_horizon_solve(K, b, E, F, c, mesh: Mesh | None = None,
     p = E.shape[0]
     E = jnp.asarray(E, K.dtype)
     F = jnp.asarray(F, K.dtype)
+    a = 0 if C is None else C.shape[-1]
 
-    if mesh is None:
-        XE, XF, w0 = jax.vmap(_condense_local, in_axes=(0, 0, None, None))(
-            K, b, E, F)
-        mu = _interface_system({"XE": XE, "XF": XF, "w0": w0, "c": c},
-                               E, F, S)
+    def back_sub(w0, XE, XF, XC, mu, g):
         mu_pad = jnp.concatenate([jnp.zeros((1, p), K.dtype), mu,
                                   jnp.zeros((1, p), K.dtype)], axis=0)
-        # w_i = w0_i - XE mu_i - XF mu_{i-1}
+        # w_i = w0_i - XE mu_i - XF mu_{i-1} [- XC g]
         w = w0 - jnp.einsum("ikq,iq->ik", XE, mu_pad[1:]) \
             - jnp.einsum("ikq,iq->ik", XF, mu_pad[:-1])
-        return w, mu
+        if a:
+            w = w - jnp.einsum("ika,a->ik", XC, g)
+        return w
+
+    if mesh is None:
+        XE, XF, w0, XC = jax.vmap(
+            _condense_local, in_axes=(0, 0, None, None, 0 if a else None))(
+            K, b, E, F, C)
+        Sloc = {"XE": XE, "XF": XF, "w0": w0, "c": c}
+        if a:
+            Sloc.update({"XC": XC, "C": C})
+        mu, g = _interface_system(Sloc, E, F, S, G=G, Dg=Dg, bg=bg)
+        w = back_sub(w0, XE, XF, XC, mu, g)
+        return (w, mu, g) if a else (w, mu)
 
     if mesh.devices.size != S:
         raise ValueError(f"mesh size {mesh.devices.size} != segments {S}")
 
-    def shard_fn(Kl, bl, cl):
+    def shard_fn(Kl, bl, cl, Cl):
         # Kl (1, k, k) local shard
-        XE, XF, w0 = _condense_local(Kl[0], bl[0], E, F)
+        XE, XF, w0, XC = _condense_local(Kl[0], bl[0], E, F,
+                                         Cl[0] if a else None)
         # gather tiny condensed blocks over ICI; interface solve is replicated
-        XEg = jax.lax.all_gather(XE, axis)
-        XFg = jax.lax.all_gather(XF, axis)
-        w0g = jax.lax.all_gather(w0, axis)
-        cg = jax.lax.all_gather(cl[0], axis)        # (S, p) but only S-1 used
-        mu = _interface_system(
-            {"XE": XEg, "XF": XFg, "w0": w0g, "c": cg[:-1]}, E, F, S)
+        Sloc = {"XE": jax.lax.all_gather(XE, axis),
+                "XF": jax.lax.all_gather(XF, axis),
+                "w0": jax.lax.all_gather(w0, axis),
+                "c": jax.lax.all_gather(cl[0], axis)[:-1]}  # (S, p), S-1 used
+        if a:
+            Sloc["XC"] = jax.lax.all_gather(XC, axis)
+            Sloc["C"] = jax.lax.all_gather(Cl[0], axis)
+        mu, g = _interface_system(Sloc, E, F, S, G=G, Dg=Dg, bg=bg)
         i = jax.lax.axis_index(axis)
         mu_pad = jnp.concatenate(
             [jnp.zeros((1, p), mu.dtype), mu, jnp.zeros((1, p), mu.dtype)],
@@ -142,27 +197,31 @@ def schur_horizon_solve(K, b, E, F, c, mesh: Mesh | None = None,
         mu_right = jax.lax.dynamic_slice(mu_pad, (i + 1, zero), (1, p))[0]
         mu_left = jax.lax.dynamic_slice(mu_pad, (i, zero), (1, p))[0]
         w = w0 - XE @ mu_right - XF @ mu_left
-        return w[None], mu
+        if a:
+            w = w - XC @ g
+        return w[None], mu, g
 
     # mu is computed from all_gather'ed (hence replicated) blocks on every
     # chip; the varying-axis checker can't infer that, so disable it
-    w, mu = jax.shard_map(
+    w, mu, g = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
-        out_specs=(P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(), P()),
         check_vma=False,
-    )(K, b, jnp.concatenate([c, jnp.zeros((1, p), c.dtype)], axis=0))
-    return w, mu
+    )(K, b, jnp.concatenate([c, jnp.zeros((1, p), c.dtype)], axis=0),
+      C if a else jnp.zeros((S, k, 0), K.dtype))
+    return (w, mu, g) if a else (w, mu)
 
 
-def assemble_dense_horizon(K, b, E, F, c):
+def assemble_dense_horizon(K, b, E, F, c, G=None, C=None, Dg=None, bg=None):
     """Oracle: the full coupled KKT assembled dense (for parity tests).
 
-    Layout: [w_0 ... w_{S-1}, mu_0 ... mu_{S-2}].
+    Layout: [w_0 ... w_{S-1}, mu_0 ... mu_{S-2} (, g)].
     """
     S, k = b.shape
     p = E.shape[0]
-    n = S * k + (S - 1) * p
+    a = 0 if C is None else np.asarray(C).shape[-1]
+    n = S * k + (S - 1) * p + a
     M = np.zeros((n, n), dtype=np.asarray(K).dtype)
     r = np.zeros(n, dtype=np.asarray(K).dtype)
     Kn, bn = np.asarray(K), np.asarray(b)
@@ -179,12 +238,24 @@ def assemble_dense_horizon(K, b, E, F, c):
             mi = slice(S * k + (i - 1) * p, S * k + i * p)
             M[sl, mi] = Fn.T
             M[mi, sl] = Fn
+        if a:
+            gi = slice(S * k + (S - 1) * p, n)
+            M[sl, gi] = np.asarray(C)[i]
+            M[gi, sl] = np.asarray(C)[i].T
     for i in range(S - 1):
         mi = slice(S * k + i * p, S * k + (i + 1) * p)
         r[mi] = cn[i]
+        if G is not None:
+            M[mi, mi] = np.asarray(G)[i]
+    if a:
+        gi = slice(S * k + (S - 1) * p, n)
+        M[gi, gi] = np.asarray(Dg)
+        r[gi] = np.asarray(bg)
     sol = np.linalg.solve(M, r)
     w = sol[:S * k].reshape(S, k)
-    mu = sol[S * k:].reshape(S - 1, p)
+    mu = sol[S * k:S * k + (S - 1) * p].reshape(S - 1, p)
+    if a:
+        return w, mu, sol[S * k + (S - 1) * p:]
     return w, mu
 
 

@@ -43,6 +43,54 @@ def test_schur_sharded_matches_local():
     np.testing.assert_allclose(np.asarray(mu_sh), np.asarray(mu), atol=1e-8)
 
 
+def _random_border(S, k, a, seed):
+    rng = np.random.default_rng(seed)
+    C = rng.normal(size=(S, k, a)) * 0.3
+    Dh = rng.normal(size=(a, a))
+    Dg = Dh @ Dh.T + 0.5 * np.eye(a)
+    bg = rng.normal(size=(a,))
+    return jnp.asarray(C), jnp.asarray(Dg), jnp.asarray(bg)
+
+
+@pytest.mark.parametrize("S,k,p,a", [(4, 10, 3, 2), (8, 17, 4, 1)])
+def test_schur_border_matches_dense(S, k, p, a):
+    """Global border (optimised-parameter arrow) through the condensation."""
+    K, b, E, F, c = _random_problem(S, k, p, seed=7 * S)
+    C, Dg, bg = _random_border(S, k, a, seed=S)
+    w, mu, g = schur_horizon_solve(K, b, E, F, c, C=C, Dg=Dg, bg=bg)
+    w_ref, mu_ref, g_ref = assemble_dense_horizon(K, b, E, F, c,
+                                                  C=C, Dg=Dg, bg=bg)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g), g_ref, atol=1e-8)
+
+
+def test_schur_interface_diagonal_matches_dense():
+    """ADMM-relaxed continuity rows: E w_i + F w_{i+1} + G_i mu_i = c_i."""
+    S, k, p = 5, 8, 3
+    K, b, E, F, c = _random_problem(S, k, p, seed=11)
+    G = jnp.asarray(np.tile(-0.1 * np.eye(p)[None], (S - 1, 1, 1)))
+    w, mu = schur_horizon_solve(K, b, E, F, c, G=G)
+    w_ref, mu_ref = assemble_dense_horizon(K, b, E, F, c, G=G)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu), mu_ref, atol=1e-8)
+
+
+def test_schur_border_sharded_matches_local():
+    S, k, p, a = 8, 12, 3, 2
+    K, b, E, F, c = _random_problem(S, k, p, seed=2)
+    C, Dg, bg = _random_border(S, k, a, seed=9)
+    G = jnp.asarray(np.tile(-0.05 * np.eye(p)[None], (S - 1, 1, 1)))
+    mesh = horizon_mesh(8)
+    w_sh, mu_sh, g_sh = jax.jit(
+        lambda K, b, c, C, bg: schur_horizon_solve(
+            K, b, E, F, c, mesh=mesh, G=G, C=C, Dg=Dg, bg=bg))(K, b, c, C, bg)
+    w, mu, g = schur_horizon_solve(K, b, E, F, c, G=G, C=C, Dg=Dg, bg=bg)
+    np.testing.assert_allclose(np.asarray(w_sh), np.asarray(w), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(mu_sh), np.asarray(mu), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g), atol=1e-8)
+
+
 def test_schur_continuity_satisfied():
     # the solution must satisfy the continuity rows exactly
     S, k, p = 6, 9, 3
