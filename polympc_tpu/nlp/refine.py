@@ -62,22 +62,13 @@ def _row_bounds(nlp: NLP, bounds: NLPBounds, dt):
     return cl, cu
 
 
-@full_precision
-def kkt_residual(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None
-                 ) -> KKTResidual:
-    """Unscaled KKT error of (z, lam, lam_box) in the dtype of ``z``.
-
-    Conventions match sqp_solve (nlp/sqp.py): stationarity is
-    grad_f + J'lam + lam_box; rows live in [cl, cu]; lam_box is the *net*
-    box dual (upper-active positive, lower-active negative).
-    """
+def _kkt_from_parts(nlp: NLP, g, c, J, z, lam, lam_box, cl, cu, lbx, ubx
+                    ) -> KKTResidual:
+    """KKT error from pre-evaluated derivative parts (g, c, J) — lets the
+    refinement loop certify each iterate with the evaluation it already
+    paid for instead of re-evaluating (fp64 evals are emulated on TPU and
+    dominate the certification cost)."""
     dt = z.dtype
-    lam = lam.astype(dt)
-    lam_box = lam_box.astype(dt)
-    cl, cu = _row_bounds(nlp, bounds, dt)
-    lbx, ubx = bounds.lbx.astype(dt), bounds.ubx.astype(dt)
-    g, c, J = _eval_parts(nlp, z, p)
-
     stat = jnp.max(jnp.abs(g + (J.T @ lam if nlp.m else 0.0) + lam_box),
                    initial=0.0)
     feas_c = jnp.max(jnp.maximum(jnp.maximum(c - cu, 0.0),
@@ -105,11 +96,31 @@ def kkt_residual(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None
 
 
 @full_precision
+def kkt_residual(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None
+                 ) -> KKTResidual:
+    """Unscaled KKT error of (z, lam, lam_box) in the dtype of ``z``.
+
+    Conventions match sqp_solve (nlp/sqp.py): stationarity is
+    grad_f + J'lam + lam_box; rows live in [cl, cu]; lam_box is the *net*
+    box dual (upper-active positive, lower-active negative).
+    """
+    dt = z.dtype
+    lam = lam.astype(dt)
+    lam_box = lam_box.astype(dt)
+    cl, cu = _row_bounds(nlp, bounds, dt)
+    lbx, ubx = bounds.lbx.astype(dt), bounds.ubx.astype(dt)
+    g, c, J = _eval_parts(nlp, z, p)
+    return _kkt_from_parts(nlp, g, c, J, z, lam, lam_box, cl, cu, lbx, ubx)
+
+
+@full_precision
 @functools.partial(jax.jit,
-                   static_argnames=("nlp", "iters", "act_tol", "solve_dtype"))
+                   static_argnames=("nlp", "iters", "act_tol", "solve_dtype",
+                                    "matrix_dtype", "return_residual"))
 def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
                     iters: int = 2, act_tol: float = 1e-3,
-                    solve_dtype=None):
+                    solve_dtype=None, matrix_dtype=None,
+                    return_residual: bool = False):
     """Newton-KKT refinement in fp64 from an fp32 (or loose fp64) solution.
 
     ``solve_dtype`` controls the precision of the inner linear solve only:
@@ -119,6 +130,18 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     residuals + low-precision factorisation), which still converges to
     fp64-accurate KKT points as long as kappa(K)*eps_f32 < 1; each step
     cuts the residual by that factor, so bump ``iters`` to 3.
+
+    ``matrix_dtype`` controls the precision of the *Lagrangian Hessian*
+    evaluation only (the W block of the Newton matrix).  Refinement accuracy
+    is set by the residual precision, not the matrix: W only preconditions
+    the step, so evaluating the second-order AD in fp32 (cheap on TPU)
+    instead of emulated fp64 changes the per-step contraction factor
+    slightly but not the attainable residual.  First-order quantities
+    (g, c, J) stay fp64 — they enter the residual.
+
+    ``return_residual=True`` appends the certified fp64 KKT infinity norm of
+    the returned point (already computed for the accept/reject test) so
+    callers don't pay another fp64 Jacobian evaluation to re-certify.
 
     Freezes the active set detected at the input point, then runs ``iters``
     exact-Hessian Newton steps on the square active-set KKT system
@@ -147,19 +170,27 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     cl, cu = _row_bounds(nlp, bounds64, f64)
     lbx, ubx = bounds64.lbx, bounds64.ubx
 
+    md = f64 if matrix_dtype is None else matrix_dtype
+    p_md = p64 if md == f64 else jax.tree_util.tree_map(
+        lambda a: a.astype(md) if jnp.issubdtype(
+            jnp.asarray(a).dtype, jnp.floating) else a, p)
+
     if nlp.lag_hessian is not None:
-        hess = lambda zz, ll: nlp.lag_hessian(zz, ll, p64)
+        hess = lambda zz, ll: nlp.lag_hessian(
+            zz.astype(md), ll.astype(md), p_md).astype(f64)
     else:
         def hess(zz, ll):
             def lagr(v):
-                val = nlp.cost(v, p64)
+                val = nlp.cost(v, p_md)
                 if m:
-                    val = val + _eval_parts(nlp, v, p64)[1] @ ll
+                    val = val + _eval_parts(nlp, v, p_md)[1] @ ll.astype(md)
                 return val
-            return jax.jacfwd(jax.grad(lagr))(zz)
+            return jax.jacfwd(jax.grad(lagr))(zz.astype(md)).astype(f64)
 
     # ---- frozen active set from the input point ----
-    g0, c0, _ = _eval_parts(nlp, z, p64)
+    # one evaluation serves triple duty: active-set detection, the first
+    # Newton step's residual, and the before-refinement KKT certificate
+    g0, c0, J0 = _eval_parts(nlp, z, p64)
     act_lo_c = (c0 - cl <= act_tol) if m else jnp.zeros(0, bool)
     act_up_c = (cu - c0 <= act_tol) if m else jnp.zeros(0, bool)
     act_c = act_lo_c | act_up_c
@@ -176,8 +207,9 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     delta = 1e-10
 
     def step(carry, _):
-        z, lam, lam_box = carry
-        g, c, J = _eval_parts(nlp, z, p64)
+        # the carried (g, c, J) were evaluated at the carried point — each
+        # step pays exactly one fp64 first-order evaluation (at its output)
+        z, lam, lam_box, g, c, J = carry
         W = hess(z, lam)
         r1 = g + (J.T @ lam if m else 0.0) + lam_box
         r3 = ax * (z - b_x) + (1.0 - ax) * lam_box
@@ -208,14 +240,22 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
         # keep iterates inside the box (active-set solve can overshoot by
         # rounding; clipping is exact for the frozen active set)
         z2 = jnp.clip(z2, lbx, ubx)
-        return (z2, lam2, lam_box2), None
+        g2, c2, J2 = _eval_parts(nlp, z2, p64)
+        return (z2, lam2, lam_box2, g2, c2, J2), None
 
-    (z2, lam2, lam_box2), _ = jax.lax.scan(
-        step, (z, lam, lam_box), None, length=iters)
+    (z2, lam2, lam_box2, g2, c2, J2), _ = jax.lax.scan(
+        step, (z, lam, lam_box, g0, c0, J0), None, length=iters)
 
-    # accept only if the refinement improved the true KKT error
-    r_before = kkt_residual(nlp, z, lam, lam_box, bounds64, p64).max
-    r_after = kkt_residual(nlp, z2, lam2, lam_box2, bounds64, p64).max
+    # accept only if the refinement improved the true KKT error — both
+    # certificates come from already-paid evaluations (g0/c0/J0 at the
+    # input, the last step's g2/c2/J2 at the output)
+    r_before = _kkt_from_parts(nlp, g0, c0, J0, z, lam, lam_box,
+                               cl, cu, lbx, ubx).max
+    r_after = _kkt_from_parts(nlp, g2, c2, J2, z2, lam2, lam_box2,
+                              cl, cu, lbx, ubx).max
     ok = r_after <= r_before
     pick = lambda a, b: jnp.where(ok, a, b)
-    return pick(z2, z), pick(lam2, lam), pick(lam_box2, lam_box)
+    out = (pick(z2, z), pick(lam2, lam), pick(lam_box2, lam_box))
+    if return_residual:
+        return out + (jnp.where(ok, r_after, r_before),)
+    return out

@@ -30,13 +30,14 @@ oracle for the Pallas kernel (ops/bbt_kernel.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["CollocStructure", "bbt_structure", "gather_blocks",
-           "scatter_solution", "bbt_solve_jnp"]
+           "scatter_solution", "bbt_solve_jnp", "structure_is_consistent"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,28 @@ class CollocStructure:
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
+
+
+@functools.lru_cache(maxsize=64)
+def structure_is_consistent(st: CollocStructure) -> bool:
+    """Completeness check of a CollocStructure against its own dimensions:
+    perm + border must cover each of the K = n+m global KKT indices exactly
+    once (padding slots carry the sentinel K), with the advertised S/k/a
+    shapes.  Guards the structured-kernel dispatch against a malformed or
+    foreign structure whose n/m coincidentally match the QP — a wrong
+    permutation would otherwise surface only as silent non-convergence.
+    (A structure should come from the same Transcription.bbt_structure()
+    that produced the QP; this cannot verify node *ownership*, only that
+    the permutation is a bijection of the right shape.)
+    """
+    if len(st.perm) != st.S or any(len(row) != st.k for row in st.perm):
+        return False
+    if len(st.border) != st.a or len(st.bx) != st.S:
+        return False
+    K = st.K
+    idx = [i for row in st.perm for i in row if i != K]
+    idx.extend(st.border)
+    return sorted(idx) == list(range(K))
 
 
 def bbt_structure(N: int, nx: int, nu: int, ng: int, np_: int, ntg: int,

@@ -71,10 +71,12 @@ class DistSQPSettings:
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     rho_min: float = 1e-6
+    rho_max: float = 1e6
     sigma: float = 1e-6
     alpha: float = 1.6
     admm_iters: int = 200
     loose_bound: float = 1e10
+    eq_tol: float = 1e-4
 
     def validate(self) -> bool:
         return (self.max_iter > 0 and self.ls_max_iter > 0
@@ -249,6 +251,10 @@ class DistTranscription:
 
 def dist_transcribe(ocp: OCP, basis: Basis, S: int, t0: float, tf: float
                     ) -> DistTranscription:
+    if S < 2:
+        raise ValueError(
+            f"dist_transcribe needs S >= 2 segments to partition (got {S}); "
+            "use the single-chip ocp.transcribe path for one segment")
     return DistTranscription(ocp=ocp, basis=basis, S=S, t0=float(t0),
                              tf=float(tf))
 
@@ -369,21 +375,27 @@ def _dist_admm(dtr: DistTranscription, Hs, HsP, HPP, gW, gP,
     E = jnp.zeros((p_if, k), dt).at[:, :kz].set(jnp.asarray(Epk, dt))
     F = jnp.zeros((p_if, k), dt).at[:, :kz].set(jnp.asarray(Fpk, dt))
 
-    # rho classification (ref box_admm.hpp:357-396): defect rows (incl the
-    # masked dummy rows) and interface rows are equalities
+    # rho classification (ref box_admm.hpp:357-396), matching the fused
+    # path's classify_constraints/rho_vector: equality rows (spread below
+    # eq_tol) get rho*rho_eq_scale, loose rows rho_min, everything clipped
+    # into [rho_min, rho_max].  Defect rows (incl the masked dummy rows) and
+    # interface rows are equalities.
     rho_base = jnp.asarray(settings.rho, dt)
-    rho_eq = rho_base * settings.rho_eq_scale
-    eq_row = (au - al) < 1e-9                             # (S, ml)
+    rho_eq = jnp.clip(rho_base * settings.rho_eq_scale,
+                      settings.rho_min, settings.rho_max)
+    eq_row = (au - al) < settings.eq_tol                  # (S, ml)
     loose = (al < -settings.loose_bound) & (au > settings.loose_bound)
-    rho_loc = jnp.where(eq_row, rho_eq,
-                        jnp.where(loose, settings.rho_min, rho_base))
+    rho_loc = jnp.clip(
+        jnp.where(eq_row, rho_eq,
+                  jnp.where(loose, settings.rho_min, rho_base)),
+        settings.rho_min, settings.rho_max)
     rho_if = jnp.full((p_if,), rho_eq, dt)
     # box rho: loose boxes get rho_min
     def box_rho(lo, hi):
         lo_ = (lo < -settings.loose_bound) & (hi > settings.loose_bound)
-        eq_ = (hi - lo) < 1e-9
+        eq_ = (hi - lo) < settings.eq_tol
         r = jnp.where(eq_, rho_eq, jnp.where(lo_, settings.rho_min, rho_base))
-        return r
+        return jnp.clip(r, settings.rho_min, settings.rho_max)
     rbW = box_rho(lw, uw)                                 # (S, kz)
     rbP = box_rho(lp, up)                                 # (np,)
 
@@ -589,8 +601,10 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
         mu = jnp.minimum(
             settings.merit_mu_safety + jnp.maximum(
                 jnp.max(jnp.abs(yl_qp), initial=0.0),
-                jnp.maximum(jnp.max(jnp.abs(yi_qp), initial=0.0),
-                            jnp.max(jnp.abs(ybw_qp), initial=0.0))),
+                jnp.maximum(
+                    jnp.max(jnp.abs(yi_qp), initial=0.0),
+                    jnp.maximum(jnp.max(jnp.abs(ybw_qp), initial=0.0),
+                                jnp.max(jnp.abs(ybp_qp), initial=0.0)))),
             settings.merit_mu_max)
         phi0 = f0 + mu * v0
         dphi = dphi_f - mu * v0

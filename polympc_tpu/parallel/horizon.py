@@ -56,6 +56,16 @@ def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
     p = E.shape[0]
     nI = SX - 1
     a = 0 if Dg is None else Dg.shape[0]
+    if nI == 0:
+        # single segment: no interfaces to condense — only the (optional)
+        # global border remains: (Dg - C' XC) g = bg - C' w0
+        mu0 = jnp.zeros((0, p), XE.dtype)
+        if a:
+            XC, C = Sloc["XC"], Sloc["C"]
+            Mgg = Dg - jnp.einsum("ska,skb->ab", C, XC)
+            g = jnp.linalg.solve(Mgg, bg - jnp.einsum("ska,sk->a", C, w0))
+            return mu0, g
+        return mu0, jnp.zeros((0,), XE.dtype)
     # diag_i   = E XE_i + F XF_{i+1}
     # lower_i  = E XF_i            (couples mu_{i-1})
     # upper_i  = F XE_{i+1}        (couples mu_{i+1})

@@ -164,6 +164,7 @@ def _make_epoch_fn(sigma, alpha, iters, structure=None):
     from polympc_tpu.ops.bbt_kernel import (
         bbt_admm_epoch_batched, bbt_kernel_fits,
     )
+    from polympc_tpu.ops.structure import structure_is_consistent
 
     def _epoch_impl(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
         n, m = h.shape[0], al.shape[0]
@@ -198,6 +199,7 @@ def _make_epoch_fn(sigma, alpha, iters, structure=None):
                 for a, b in zip(args, in_batched)]
         n, m = args[1].shape[-1], args[2].shape[-1]
         if (structure is not None and structure.n == n and structure.m == m
+                and structure_is_consistent(structure)
                 and bbt_kernel_fits(structure)):
             out = bbt_admm_epoch_batched(*args, st=structure, sigma=sigma,
                                          alpha=alpha, iters=iters)

@@ -78,6 +78,10 @@ class ADMMSettings:
     # (ops/bbt_kernel.py) instead of the dense LDL^T: the TPU-native
     # analogue of the reference's sparse KKT path
     # (continuous_ocp.hpp:341-376 nnz structure + SimplicialLDLT).
+    # MUST come from the same Transcription that produced the QP: the
+    # dispatch validates dimensions and permutation completeness, but
+    # cannot detect a foreign structure with a coincidentally matching
+    # layout.
     structure: object = None     # Optional[CollocStructure], hashable
 
     # constraint classification thresholds (ref: qp_base.hpp:124-222)

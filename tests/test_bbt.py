@@ -278,3 +278,19 @@ def test_bbt_epoch_matches_dense_epoch(mk, segments):
                                    atol=1e-8, rtol=1e-8, err_msg=name)
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(got[0]),
                                    atol=0, err_msg=f"{name}: lanes differ")
+
+
+def test_structure_consistency_check():
+    # structure_is_consistent: accepts a real bbt_structure, rejects a
+    # corrupted permutation (duplicate / missing indices) of the same shape
+    from polympc_tpu.ops.structure import structure_is_consistent
+    st = _structure_of(_kite_tr())
+    assert structure_is_consistent(st)
+    perm = [list(row) for row in st.perm]
+    # duplicate the first real index into the second slot
+    perm[0][1] = perm[0][0]
+    bad = dataclasses.replace(st, perm=tuple(tuple(r) for r in perm))
+    assert not structure_is_consistent(bad)
+    # wrong block count
+    bad2 = dataclasses.replace(st, perm=st.perm[:-1], bx=st.bx[:-1])
+    assert not structure_is_consistent(bad2)

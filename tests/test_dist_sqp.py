@@ -179,3 +179,9 @@ def test_fused_segment_roundtrip():
     X2, U2 = segments_to_fused(dtr, W)
     np.testing.assert_allclose(np.asarray(X2), X, atol=1e-12)
     np.testing.assert_allclose(np.asarray(U2), U, atol=1e-12)
+
+
+def test_dist_transcribe_rejects_single_segment():
+    ocp = parking_ocp()
+    with pytest.raises(ValueError, match="S >= 2"):
+        dist_transcribe(ocp, Chebyshev(5), S=1, t0=0.0, tf=1.0)

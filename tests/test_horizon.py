@@ -99,3 +99,48 @@ def test_schur_continuity_satisfied():
     res = jnp.einsum("pk,ik->ip", E, w[:-1]) \
         + jnp.einsum("pk,ik->ip", F, w[1:]) - c
     assert float(jnp.max(jnp.abs(res))) < 1e-8
+
+
+def test_single_segment_no_interface():
+    # S=1: nothing to condense — schur_horizon_solve must reduce to K w = b
+    # (regression: the interface accumulator used to index diag[0,0,0] on a
+    # zero-size array at trace time)
+    S, k, p = 1, 7, 3
+    rng = np.random.default_rng(5)
+    Kh = rng.normal(size=(S, k, k))
+    K = jnp.asarray(Kh @ np.swapaxes(Kh, 1, 2) + 0.5 * np.eye(k))
+    b = jnp.asarray(rng.normal(size=(S, k)))
+    E = np.zeros((p, k)); E[:, k - p:] = np.eye(p)
+    F = np.zeros((p, k)); F[:, :p] = -np.eye(p)
+    c = jnp.zeros((0, p))
+    w, mu = schur_horizon_solve(K, b, jnp.asarray(E), jnp.asarray(F), c)
+    assert mu.shape == (0, p)
+    np.testing.assert_allclose(np.asarray(w[0]),
+                               np.linalg.solve(np.asarray(K[0]),
+                                               np.asarray(b[0])), atol=1e-9)
+
+
+def test_single_segment_with_border():
+    # S=1 with a global border: only the border system remains
+    S, k, p, a = 1, 6, 2, 2
+    rng = np.random.default_rng(6)
+    Kh = rng.normal(size=(S, k, k))
+    K = jnp.asarray(Kh @ np.swapaxes(Kh, 1, 2) + 0.5 * np.eye(k))
+    b = jnp.asarray(rng.normal(size=(S, k)))
+    E = np.zeros((p, k)); E[:, k - p:] = np.eye(p)
+    F = np.zeros((p, k)); F[:, :p] = -np.eye(p)
+    c = jnp.zeros((0, p))
+    C = jnp.asarray(rng.normal(size=(S, k, a)) * 0.1)
+    Dg = jnp.asarray(rng.normal(size=(a, a)))
+    Dg = Dg @ Dg.T + 0.5 * jnp.eye(a)
+    bg = jnp.asarray(rng.normal(size=(a,)))
+    w, mu, g = schur_horizon_solve(K, b, jnp.asarray(E), jnp.asarray(F), c,
+                                   C=C, Dg=Dg, bg=bg)
+    # oracle: dense bordered system [[K, C],[C', Dg]]
+    M = np.zeros((k + a, k + a))
+    M[:k, :k] = np.asarray(K[0]); M[:k, k:] = np.asarray(C[0])
+    M[k:, :k] = np.asarray(C[0]).T; M[k:, k:] = np.asarray(Dg)
+    sol = np.linalg.solve(M, np.concatenate([np.asarray(b[0]),
+                                             np.asarray(bg)]))
+    np.testing.assert_allclose(np.asarray(w[0]), sol[:k], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g), sol[k:], atol=1e-9)
