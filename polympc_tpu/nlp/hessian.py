@@ -12,6 +12,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from polympc_tpu.utils.solver_utils import block_diag_scatter
+
 __all__ = [
     "bfgs_update", "sr1_update", "regularize",
     "BlockHessian", "block_hessian_identity", "block_hessian_matvec",
@@ -133,11 +135,9 @@ def block_bfgs_update(B: BlockHessian, s, y, N: int, nx: int, nu: int
 
 def assemble_block_hessian(B: BlockHessian, N: int, nx: int, nu: int):
     """Dense (n, n) matrix from block storage (for dense QP backends)."""
-    dt = B.xx.dtype
-    eN = jnp.eye(N, dtype=dt)
-    XX = jnp.einsum("kij,kl->kilj", B.xx, eN).reshape(N * nx, N * nx)
-    UU = jnp.einsum("kij,kl->kilj", B.uu, eN).reshape(N * nu, N * nu)
-    XU = jnp.einsum("kij,kl->kilj", B.xu, eN).reshape(N * nx, N * nu)
+    XX = block_diag_scatter(B.xx)
+    UU = block_diag_scatter(B.uu)
+    XU = block_diag_scatter(B.xu)
     top = jnp.concatenate([XX, XU], axis=1)
     mid = jnp.concatenate([XU.T, UU], axis=1)
     H = jnp.concatenate([top, mid], axis=0)

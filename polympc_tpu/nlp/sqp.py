@@ -110,14 +110,6 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
     else:
         jac_fn = jax.jacfwd(con_fn)
 
-    def lag_grad(x, lam):
-        # gradient of f + lam'c wrt x (box-dual term excluded: constant wrt x
-        # derivative handled via lam_box directly)
-        g = grad_fn(x)
-        if m:
-            g = g + jac_fn(x).T @ lam
-        return g
-
     quasi_newton = settings.hessian in ("bfgs", "sr1", "block_bfgs")
     if settings.hessian == "exact":
         if nlp.lag_hessian is not None:
@@ -152,12 +144,14 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
     alphas = jnp.asarray(settings.tau, dt) ** jnp.arange(settings.ls_max_iter)
 
     def body(carry):
+        # first-order quantities (g, c, A, f) are carried from the previous
+        # iteration's end-of-step evaluation — each iteration pays exactly
+        # one gradient/constraint/Jacobian sweep (the reference re-evaluates
+        # at the accepted point too, sqp_base.hpp:489-521; the naive body
+        # evaluated the same point twice)
         (x, lam, lam_box, B, it, done, qp_iters_acc,
-         prim_step, dual_step, viol, filt_f, filt_v, trace) = carry
-
-        g = grad_fn(x)
-        c = con_fn(x) if m else jnp.zeros(0, dt)
-        A = jac_fn(x) if m else jnp.zeros((0, n), dt)
+         prim_step, dual_step, viol, filt_f, filt_v, trace,
+         g, c, A, f0) = carry
 
         if settings.hessian == "block_bfgs":
             H = assemble_block_hessian(B, bs_N, bs_nx, bs_nu)
@@ -185,7 +179,7 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         pstep = jnp.clip(pstep, bounds.lbx - x, bounds.ubx - x)
 
         # --- line search, batched over fixed trial alphas ---
-        f0, v0 = merit_components(x)
+        v0 = _violation_l1(c, cl, cu, x, bounds.lbx, bounds.ubx)
         dphi_f = g @ pstep  # cost directional derivative
         trial_f, trial_v = jax.vmap(
             lambda a: merit_components(x + a * pstep))(alphas)
@@ -241,7 +235,8 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
                     - jnp.argmax(jnp.flip(finite)).astype(jnp.int32))
         fallback = jnp.where(jnp.any(improve), best,
                              jnp.where(jnp.any(finite), smallest, 0))
-        alpha = jnp.where(jnp.any(ok), alphas[first], alphas[fallback])
+        sel = jnp.where(jnp.any(ok), first, fallback)
+        alpha = alphas[sel]
         # if every trial is non-finite, stand still
         alpha = jnp.where(jnp.any(finite), alpha, jnp.zeros((), dt))
 
@@ -249,7 +244,7 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
             # augment the filter with the departed point when the accepted
             # step is not a sufficient-cost-decrease (f-type) step; bounded
             # depth via ring buffer (vmap-safe, no list surgery)
-            chosen_f = jnp.where(jnp.any(ok), trial_f[first], trial_f[-1])
+            chosen_f = jnp.where(jnp.any(ok), trial_f[first], trial_f[sel])
             f_type = (dphi_f < 0) & (
                 chosen_f <= f0 + settings.eta * alpha * dphi_f)
             slot = jnp.mod(it, settings.filter_depth)
@@ -262,9 +257,17 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         lam2 = lam + alpha * (lam_qp - lam) if m else lam
         lam_box2 = lam_box + alpha * (lam_box_qp - lam_box)
 
+        # one end-of-step first-order sweep serves the quasi-Newton secant,
+        # the stationarity test, the violation metric AND the next
+        # iteration's linearisation (via the carry)
+        g2 = grad_fn(x2)
+        c2 = con_fn(x2) if m else jnp.zeros(0, dt)
+        A2 = jac_fn(x2) if m else jnp.zeros((0, n), dt)
+        f2 = jnp.where(jnp.any(finite), trial_f[sel], f0)
+
         if quasi_newton:
             s_vec = x2 - x
-            y_vec = lag_grad(x2, lam2) - lag_grad(x, lam2)
+            y_vec = (g2 + A2.T @ lam2) - (g + A.T @ lam2) if m else g2 - g
             if settings.hessian == "bfgs":
                 B2 = bfgs_update(B, s_vec, y_vec)
             elif settings.hessian == "sr1":
@@ -277,13 +280,13 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         ps = jnp.max(jnp.abs(alpha * pstep), initial=0.0)
         ds = jnp.max(jnp.abs(alpha * (lam_qp - lam)), initial=0.0) if m \
             else jnp.zeros((), dt)
-        c2 = con_fn(x2) if m else jnp.zeros(0, dt)
         vi = _violation_inf(c2, cl, cu, x2, bounds.lbx, bounds.ubx)
         # stationarity of the Lagrangian: catches line-search stalls that the
         # reference's step-norm-only criterion (sqp_base.hpp:523-529) misses.
         # dual-step and stationarity tests are *relative* to the multiplier
         # scale — problems like the CSTR have |lambda| ~ 1e5 at the optimum
-        stat = jnp.max(jnp.abs(lag_grad(x2, lam2) + lam_box2), initial=0.0)
+        stat = jnp.max(jnp.abs(
+            (g2 + A2.T @ lam2 if m else g2) + lam_box2), initial=0.0)
         lam_scale = jnp.maximum(
             1.0, jnp.maximum(jnp.max(jnp.abs(lam2), initial=0.0),
                              jnp.max(jnp.abs(lam_box2), initial=0.0)))
@@ -296,16 +299,17 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
         trace2 = trace
         if settings.trace_iters > 0:
             slot_t = jnp.clip(it, 0, settings.trace_iters - 1)
-            row = jnp.stack([cost_fn(x2).astype(dt), vi.astype(dt),
+            row = jnp.stack([f2.astype(dt), vi.astype(dt),
                              ps.astype(dt), ds.astype(dt)])
             row = jnp.where(it < settings.trace_iters, row, trace[slot_t])
             trace2 = trace.at[slot_t].set(row)
 
         new = (x2, lam2, lam_box2, B2, it + 1, conv,
                qp_iters_acc + qp_sol.iters, ps, ds, vi, filt_f, filt_v,
-               trace2)
+               trace2, g2, c2, A2, f2)
         old = (x, lam, lam_box, B, it, done, qp_iters_acc,
-               prim_step, dual_step, viol, filt_f, filt_v, trace)
+               prim_step, dual_step, viol, filt_f, filt_v, trace,
+               g, c, A, f0)
         # tree_map (not a flat tuple-zip): B may be a BlockHessian pytree
         return jax.tree_util.tree_map(
             lambda o, nw: jnp.where(done, o, nw), old, new)
@@ -328,17 +332,23 @@ def sqp_solve(nlp: NLP, x0, p=None, bounds: NLPBounds | None = None,
     else:
         B0 = jnp.eye(n, dtype=dt)
     trace0 = jnp.full((settings.trace_iters, 4), jnp.nan, dt)
+    g_init = grad_fn(x0)
+    c_init = con_fn(x0) if m else jnp.zeros(0, dt)
+    A_init = jac_fn(x0) if m else jnp.zeros((0, n), dt)
+    f_init = cost_fn(x0)
     init = (x0.astype(dt), lam_init, lam_box_init,
             B0, jnp.zeros((), jnp.int32),
             jnp.zeros((), bool), jnp.zeros((), jnp.int32),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt), filt_f0, filt_v0, trace0)
+            jnp.asarray(jnp.inf, dt), filt_f0, filt_v0, trace0,
+            g_init, c_init, A_init, f_init)
 
     (x, lam, lam_box, B, iters, done, qp_iters,
-     ps, ds, vi, _, _, trace) = jax.lax.while_loop(cond, body, init)
+     ps, ds, vi, _, _, trace, _, _, _, f_fin) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
     return SQPSolution(x=x, lam=lam, lam_box=lam_box, status=status,
-                       iters=iters, qp_iters=qp_iters, cost=cost_fn(x),
+                       iters=iters, qp_iters=qp_iters, cost=f_fin,
                        primal_step=ps, dual_step=ds, violation=vi,
                        trace=trace if settings.trace_iters > 0 else None)

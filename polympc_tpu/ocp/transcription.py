@@ -33,6 +33,7 @@ from polympc_tpu.basis.basis import SegmentedBasis
 from polympc_tpu.nlp.types import NLP, NLPBounds
 from polympc_tpu.ocp.ocp import OCP
 from polympc_tpu.utils.precision import full_precision
+from polympc_tpu.utils.solver_utils import block_diag_scatter
 
 __all__ = ["Transcription", "transcribe", "split_z", "pack_z",
            "SpectralOps"]
@@ -326,7 +327,6 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         [np.kron(Rcont, np.eye(nx)), np.zeros((n_cont, N * nu + np_))],
         axis=1) if n_cont else None
     q_xu = nx + nu
-    eyeN = np.eye(N)
 
     def _node_parts(z, prm):
         X, U, P = split_z(z, nx, nu, N, np_)   # scaled
@@ -349,13 +349,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             lambda xs, us, tk: jax.jacfwd(_dyn_scaled, argnums=(0, 1, 2))(
                 xs, us, P, d, tk, z.dtype))(X, U, t)
         fx, fu, fp = jac            # (N,nx,nx), (N,nx,nu), (N,nx,np_)
-        # block-diagonal scatter via identity einsum (N small, dense is fine)
-        Jx = jnp.asarray(KD, z.dtype) - scale * jnp.einsum(
-            "kij,kl->kilj", fx, jnp.asarray(eyeN, z.dtype)).reshape(
-            N * nx, N * nx)
-        Ju = -scale * jnp.einsum(
-            "kij,kl->kilj", fu, jnp.asarray(eyeN, z.dtype)).reshape(
-            N * nx, N * nu)
+        Jx = jnp.asarray(KD, z.dtype) - scale * block_diag_scatter(fx)
+        Ju = -scale * block_diag_scatter(fu)
         cols = [Jx, Ju]
         if np_:
             cols.append(-scale * fp.reshape(N * nx, np_))
@@ -416,13 +411,9 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
 
         Hn = jax.vmap(node_h)(X, U, t, wk, lam_eq, mu, is_last)
 
-        Hxx = Hn[:, :nx, :nx]
-        Hxu = Hn[:, :nx, nx:q_xu]
-        Huu = Hn[:, nx:q_xu, nx:q_xu]
-        eN = jnp.asarray(eyeN, dtype)
-        XX = jnp.einsum("kij,kl->kilj", Hxx, eN).reshape(N * nx, N * nx)
-        XU = jnp.einsum("kij,kl->kilj", Hxu, eN).reshape(N * nx, N * nu)
-        UU = jnp.einsum("kij,kl->kilj", Huu, eN).reshape(N * nu, N * nu)
+        XX = block_diag_scatter(Hn[:, :nx, :nx])
+        XU = block_diag_scatter(Hn[:, :nx, nx:q_xu])
+        UU = block_diag_scatter(Hn[:, nx:q_xu, nx:q_xu])
         if np_:
             Hxp = Hn[:, :nx, q_xu:].reshape(N * nx, np_)
             Hup = Hn[:, nx:q_xu, q_xu:].reshape(N * nu, np_)
@@ -483,9 +474,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
                     _ineq_scaled, argnums=(0, 1, 2))(
                     xs, us, P, d, tk, z.dtype))(X, U, t)
             gx, gu, gp = jac
-            eN = jnp.asarray(eyeN, z.dtype)
-            Gx = jnp.einsum("kij,kl->kilj", gx, eN).reshape(N * ng, N * nx)
-            Gu = jnp.einsum("kij,kl->kilj", gu, eN).reshape(N * ng, N * nu)
+            Gx = block_diag_scatter(gx)
+            Gu = block_diag_scatter(gu)
             cols = [Gx, Gu]
             if np_:
                 cols.append(gp.reshape(N * ng, np_))

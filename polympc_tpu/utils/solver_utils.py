@@ -14,7 +14,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["is_psd", "print_qp", "rbf_kernel", "rbf_grad", "rbf_hessian"]
+__all__ = ["is_psd", "print_qp", "rbf_kernel", "rbf_grad", "rbf_hessian",
+           "block_diag_scatter"]
+
+
+def block_diag_scatter(blocks):
+    """Dense block-diagonal matrix from per-node blocks, by direct scatter.
+
+    ``blocks`` is (N, r, c); the result is (N*r, N*c) with blocks[k] at the
+    k-th diagonal block.  This is the collocation NLP's block-diagonal
+    assembly (the reference's per-node sparse inserts,
+    continuous_ocp.hpp:852-876) done in O(N r c) index writes — the previous
+    einsum-with-identity form spent O(N^2 r c) multiply-adds materialising
+    the same zeros.
+    """
+    N, r, c = blocks.shape
+    idx = jnp.arange(N)
+    out = jnp.zeros((N, r, N, c), blocks.dtype)
+    out = out.at[idx, :, idx, :].set(blocks, unique_indices=True,
+                                     indices_are_sorted=True)
+    return out.reshape(N * r, N * c)
 
 
 def is_psd(H, tol: float = 0.0) -> bool:

@@ -67,8 +67,28 @@ def test_care_vs_scipy(seed, nm):
 
 
 def test_lqr_quadrotor_like():
-    # 12-state quadrotor-like system in the spirit of lqr_test.cpp:6-57
-    # (that test's B matrix is missing a row upstream; scipy is the oracle)
+    # 12-state quadrotor-like system in the spirit of the reference's
+    # tests/control/lqr_test.cpp:6-57.  scipy is the oracle instead of that
+    # test's P_true matrix, for two auditable reasons:
+    #
+    # 1. The reference B literal (lqr_test.cpp:26-37) initialises a 12x4
+    #    matrix with only 11 rows of entries (rows 0..10; the yaw-actuator
+    #    row for state 11 is missing) — Eigen's comma-initialiser asserts at
+    #    runtime on an incomplete fill, so the upstream test cannot have run
+    #    as committed.  We complete the actuation with B[11,3] = 21.43
+    #    (state 11 is the only state A couples to state 8, A[8,11] = 0.5, so
+    #    u3 must drive it for stabilisability).
+    # 2. The reference's care() returns only the stabilising initial guess:
+    #    `return X0; //return newton_ls_care(...)` (lqr.hpp:183-185) — the
+    #    Newton refinement is commented out and the cost matrix C is never
+    #    used, so lqr_test.cpp's P_true (:44-57) is NOT a CARE solution and
+    #    no correct solver can match it.  (Check: the decoupled (x8, x11)
+    #    subsystem with any single B[11,3] entry cannot reproduce both
+    #    P_true[8,11] = 6.00641e-11 and P_true[11,11] = 2.15012 — they imply
+    #    B[11,3] of 16649 and 0.104 respectively.)
+    #
+    # This framework implements the full Newton-Kleinman CARE the reference
+    # left disabled; scipy.linalg.solve_continuous_are certifies it.
     n, m = 12, 4
     A = np.zeros((n, n))
     A[0, 3] = A[1, 4] = A[2, 5] = 1.0
@@ -191,6 +211,59 @@ def test_cstr_nmpc():
     # cost cross-validated between exact and BFGS Hessian modes (12262.6)
     np.testing.assert_allclose(float(sol.cost), 12262.6, rtol=1e-3)
     # warm-started re-solve from a perturbed state
+    mpc.initial_conditions([1.1, 0.508, 100.5, 100.1])
+    warm = mpc.solve()
+    assert int(warm.status) == st.SOLVED
+    assert int(warm.iters) <= int(sol.iters)
+
+
+def test_mpc_bfgs_warm_start():
+    # dense damped BFGS (bfgs.hpp:23-52) across MPC re-solves: the
+    # reference's receding-horizon pattern keeps m_x/m_lam between solve()
+    # calls and quasi-Newton-updates from there (sqp_base.hpp:613-615);
+    # here the MPC facade carries primal/dual warm starts and the re-solve
+    # must converge in fewer iterations than the cold solve
+    mpc = MPC(robot_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=2.0,
+              settings=SQPSettings(hessian="bfgs", max_iter=100, qp=QP))
+    mpc.set_static_parameters([2.0])
+    mpc.control_bounds([-1.5, -0.75], [1.5, 0.75])
+    mpc.initial_conditions([0.5, 0.5, 0.5])
+    mpc.x_guess([0.5, 0.5, 0.5])
+    cold = mpc.solve()
+    assert int(cold.status) == st.SOLVED
+    mpc.initial_conditions([0.52, 0.48, 0.5])
+    warm = mpc.solve()
+    assert int(warm.status) == st.SOLVED
+    assert int(warm.iters) <= int(cold.iters)
+
+
+def test_cstr_nmpc_quasi_newton():
+    # the sparsity-preserving block-BFGS on the stiff CSTR OCP — the mode
+    # the reference runs its OCPs with (continuous_ocp.hpp:2304-2431): must
+    # converge to the exact-Hessian optimum, and the warm-started re-solve
+    # (sqp_base.hpp:613-615 pattern: carried primal/dual state) must stay
+    # SOLVED.  The *dense* damped BFGS (bfgs.hpp:23-52) reaches the same
+    # cost here (12260.8 after 150 iters) but its Lagrangian stationarity
+    # decays too slowly to pass this solver's stationarity termination test
+    # — a criterion the reference does not have (it stops on step norms
+    # alone, sqp_base.hpp:523-529), so this is a deliberate strictness gap,
+    # not a regression; dense-BFGS convergence + warm-start re-solves are
+    # covered on the robot OCP (test_ocp.py, test_mpc_bfgs_warm_start)
+    mpc = MPC(cstr_ocp(), SegmentedBasis(Chebyshev(5), 2), t0=0.0, tf=100.0,
+              settings=SQPSettings(
+                  hessian="block_bfgs", max_iter=150,
+                  qp=ADMMSettings(rho=1.0, eps_abs=1e-5, eps_rel=1e-5,
+                                  max_epochs=40, equil_iters=4)),
+              x_scale=[2.0, 1.0, 100.0, 100.0], u_scale=[15.0, 2000.0])
+    mpc.control_bounds(CSTR_ULB, CSTR_UUB)
+    mpc.state_bounds([0.0, 0.0, 50.0, 50.0], [6.0, 4.0, 150.0, 150.0])
+    mpc.initial_conditions(CSTR_X0)
+    mpc.x_guess(CSTR_X0)
+    mpc.u_guess([14.19, -1113.5])
+    sol = mpc.solve()
+    assert int(sol.status) == st.SOLVED
+    # same optimum as the exact-Hessian mode (test_cstr_nmpc)
+    np.testing.assert_allclose(float(sol.cost), 12262.6, rtol=1e-3)
     mpc.initial_conditions([1.1, 0.508, 100.5, 100.1])
     warm = mpc.solve()
     assert int(warm.status) == st.SOLVED

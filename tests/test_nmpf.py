@@ -66,6 +66,27 @@ def test_nmpf_compute_control(controller):
     assert np.all(X[:, 0] >= -1e-6) and np.all(X[:, 0] <= np.pi / 2 + 1e-6)
 
 
+def test_nmpf_block_bfgs():
+    # the kite NMPF with the sparsity-preserving block-BFGS Hessian
+    # (continuous_ocp.hpp:2304-2431 analogue) — the benchmark model must
+    # converge under quasi-Newton modes too, not just exact Hessians
+    from polympc_tpu.nlp import SQPSettings
+    from polympc_tpu.qp.types import ADMMSettings
+    ctrl = NMPF(lambda x, u: kite_dynamics(x, u), kite_output, kite_path,
+                nx=3, nu=1, ny=2, tf=2.0,
+                settings=SQPSettings(
+                    hessian="block_bfgs", max_iter=100,
+                    qp=ADMMSettings(rho=1.0, eps_abs=1e-6, eps_rel=1e-6,
+                                    max_epochs=40, equil_iters=4)))
+    ctrl.control_bounds([-5, -10], [5, 10])
+    ctrl.state_bounds([0, -np.pi / 2, -np.pi, -100, -100],
+                      [np.pi / 2, np.pi / 2, np.pi, 100, 100])
+    ctrl.set_reference_velocity(0.05)
+    u, sol = ctrl.compute_control(np.array([np.pi / 4, 0.0, 0.0]))
+    assert int(sol.status) == st.SOLVED
+    assert -5 - 1e-6 <= u[0] <= 5 + 1e-6
+
+
 def test_nmpf_warm_start(controller):
     u1, sol1 = controller.compute_control(np.array([np.pi / 4, 0.0, 0.0]))
     xa = np.asarray(controller.optimal_trajectory())[1]
