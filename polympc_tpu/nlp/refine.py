@@ -113,19 +113,75 @@ def kkt_residual(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None
     return _kkt_from_parts(nlp, g, c, J, z, lam, lam_box, cl, cu, lbx, ubx)
 
 
+def _newton_kkt_solve(M, r, ir: int = 2):
+    """Symmetric Newton-KKT solve — a ``custom_vmap`` function so the
+    *batched* certification pipeline hits the lane-batched Pallas LDL^T
+    kernel (ops/ldlt.py) instead of XLA's pivoted LU, which is
+    scalar-recurrence-bound on TPU (measured: 72 ms for 512 lanes at K=209
+    — the entire refinement budget).  Unvmapped calls use plain LU.
+
+    The refine KKT's (1,1) block is the *exact* Lagrangian Hessian, which
+    is routinely indefinite away from the solution — the matrix is not
+    quasi-definite, so the unpivoted LDL^T factor can suffer large element
+    growth (measured: stalls 20+/512 kite lanes at 1e-5 KKT).  ``ir``
+    fixed-count iterative-refinement sweeps against the *same fp32 matrix*
+    (full-fp32 matvec + factor re-solve) recover the pivoted-LU solve
+    quality: growth-induced factor error contracts by ~(growth*eps32) per
+    sweep, and each sweep is two triangular passes — far cheaper than
+    pivoting on TPU."""
+    from jax.custom_batching import custom_vmap
+    from polympc_tpu.ops.ldlt import (
+        ldlt_factor_solve, ldlt_solve, pallas_fits)
+
+    def _impl(M, r):
+        return jnp.linalg.solve(M, r)
+
+    solve = custom_vmap(_impl)
+
+    @solve.def_vmap
+    def _batched(axis_size, in_batched, M, r):
+        M = M if in_batched[0] else jnp.broadcast_to(
+            M, (axis_size,) + M.shape)
+        r = r if in_batched[1] else jnp.broadcast_to(
+            r, (axis_size,) + r.shape)
+        K = M.shape[-1]
+        if M.dtype == jnp.float32 and pallas_fits(K):
+            # trace the kernel with x64 disabled: the certification pipeline
+            # runs under jax.enable_x64(), which would make grid/loop indices
+            # int64 — Mosaic's convert lowering recurses on those.  All
+            # operands are already fp32, so the jaxpr is identical to the
+            # non-x64 one.
+            with jax.enable_x64(False):
+                x, F, d = ldlt_factor_solve(M, r)
+                for _ in range(ir):
+                    # residual at FULL fp32 (TPU matmuls default to bf16
+                    # passes, which would hide exactly the error IR removes)
+                    res = r - jnp.einsum("bij,bj->bi", M, x,
+                                         precision=jax.lax.Precision.HIGHEST)
+                    x = x + ldlt_solve(F, d, res)
+        else:
+            # fp64 (CPU parity runs) or VMEM-exceeding sizes: batched LU
+            x = jnp.linalg.solve(M, r[..., None])[..., 0]
+        return x, True
+
+    return solve(M, r)
+
+
 @full_precision
 @functools.partial(jax.jit,
                    static_argnames=("nlp", "iters", "act_tol", "solve_dtype",
-                                    "matrix_dtype", "return_residual"))
+                                    "matrix_dtype", "return_residual",
+                                    "kkt_solver"))
 def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
                     iters: int = 2, act_tol: float = 1e-3,
                     solve_dtype=None, matrix_dtype=None,
-                    return_residual: bool = False):
+                    return_residual: bool = False,
+                    kkt_solver: str = "ldlt"):
     """Newton-KKT refinement in fp64 from an fp32 (or loose fp64) solution.
 
     ``solve_dtype`` controls the precision of the inner linear solve only:
     residuals, Jacobians and iterates always live in fp64.  On TPU, where
-    XLA's LU factorisation is fp32-only, pass ``solve_dtype=jnp.float32``
+    dense factorisations are fp32-only, pass ``solve_dtype=jnp.float32``
     — that is textbook mixed-precision iterative refinement (high-precision
     residuals + low-precision factorisation), which still converges to
     fp64-accurate KKT points as long as kappa(K)*eps_f32 < 1; each step
@@ -139,24 +195,43 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     slightly but not the attainable residual.  First-order quantities
     (g, c, J) stay fp64 — they enter the residual.
 
+    ``kkt_solver``: "ldlt" routes the per-step linear solve through the
+    lane-batched Pallas LDL^T kernel when the call is vmapped and fp32
+    (the TPU certification pipeline); "lu" forces XLA's pivoted LU.
+
     ``return_residual=True`` appends the certified fp64 KKT infinity norm of
     the returned point (already computed for the accept/reject test) so
     callers don't pay another fp64 Jacobian evaluation to re-certify.
 
-    Freezes the active set detected at the input point, then runs ``iters``
-    exact-Hessian Newton steps on the square active-set KKT system
+    Each step detects the active set at the current iterate, *eliminates*
+    the box-dual block and the inactive multipliers, and solves the reduced
+    symmetric quasi-definite active-set system in (dz, dlam)
 
-        [ W      J'        I     ] [dz  ]   [ g + J'lam + lam_box ]
-        [ J      0         0     ] [dlam] = [ act_c*(c - b) + (1-act_c)*lam ]
-        [ diag(a) 0  diag(1-a)   ] [dlb ]  -[ a*(z - b) + (1-a)*lam_box ]
+        [ Wm   Jm' ] [dz  ]   [ (1-ax)*(g + J'(ac*lam) + (W+dI)t) - ax*t ]
+        [ Jm  -Dc  ] [dlam] = [ ac*((c - b_c) + J(ax*t))                 ]
+          (RHS negated)
 
-    (the same structure as the boxADMM polish, box_admm.py:_polish, but with
-    re-evaluated nonlinear residuals and exact Lagrangian Hessian, so it
-    converges quadratically to the true KKT point).  Returns refined
-    (z, lam, lam_box) in fp64; callers re-certify with
-    :func:`kkt_residual` — a step that leaves the basin is rejected
-    per-instance by comparing before/after residuals.
+    with Wm = (1-ax)(W+dI)(1-ax)' + diag(ax), Jm = diag(ac) J diag(1-ax),
+    Dc = d*ac + (1-ac), and t = ax*(b_x - z) the exact step onto the active
+    box faces.  Inactive multipliers are zeroed; active box duals are then
+    assigned *exactly* from the fp64 stationarity at the new point,
+    lam_box = -ax*(g2 + J2'lam2), which zeroes the stationarity residual on
+    active coordinates by construction (the box-dual column of the KKT is an
+    identity — its Newton equation is linear, so the assignment IS the
+    Newton update, evaluated without roundup).  This is the same elimination
+    the boxADMM polish uses (box_admm.py:_polish) but with re-evaluated
+    nonlinear residuals and the exact Lagrangian Hessian: convergence is
+    quadratic to the true KKT point.
+
+    The Newton iterate always advances (its max-norm residual path is
+    routinely non-monotone), but the *returned* point is the best iterate by
+    true fp64 KKT residual — each certificate reuses the evaluations the
+    step already paid for — so an indefinite-W factorisation breakdown or a
+    basin departure can never degrade the result below the input point.
+    Returns refined (z, lam, lam_box) in fp64.
     """
+    if kkt_solver not in ("ldlt", "lu"):
+        raise ValueError("kkt_solver must be 'ldlt' or 'lu'")
     f64 = jnp.float64
     sd = f64 if solve_dtype is None else solve_dtype
     z = z.astype(f64)
@@ -211,64 +286,69 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
     # Newton step's residual, and the before-refinement KKT certificate
     g0, c0, J0 = _eval_parts(nlp, z, p64)
     In = jnp.eye(n, dtype=f64)
-    delta = 1e-10
+    # Newton-matrix regularisation.  1e-6 keeps the fp32 LDL^T pivots away
+    # from zero (the (2,2) active rows would otherwise be ~0); it perturbs
+    # only the *matrix*, not the residual, so the Newton fixed point is the
+    # exact KKT point — the rate loses O(delta*kappa), which is invisible.
+    delta = 1e-6
 
-    def step(carry, _):
+    def residual_of(parts):
+        z, lam, lam_box, g, c, J = parts
+        return _kkt_from_parts(nlp, g, c, J, z, lam, lam_box,
+                               cl, cu, lbx, ubx).max
+
+    def step(state, _):
         # the carried (g, c, J) were evaluated at the carried point — each
         # step pays exactly one fp64 first-order evaluation (at its output)
-        z, lam, lam_box, g, c, J = carry
+        (z, lam, lam_box, g, c, J), best, best_r = state
         ac, b_c, ax, b_x = active_set(z, c)
         W = hess(z, lam)
-        r1 = g + (J.T @ lam if m else 0.0) + lam_box
-        r3 = ax * (z - b_x) + (1.0 - ax) * lam_box
+        free = 1.0 - ax
+        t = ax * (b_x - z)                      # exact active-face step
+        Wd_t = W @ t + delta * t
+        lam_a = ac * lam if m else jnp.zeros(0, f64)
+        rz = free * (g + (J.T @ lam_a if m else 0.0) + Wd_t) - ax * t
+        Wm = free[:, None] * (W + delta * In) * free[None, :] + jnp.diag(ax)
         if m:
-            r2 = ac * (c - b_c) + (1.0 - ac) * lam
-            K = jnp.block([
-                [W + delta * In, J.T, In],
-                [ac[:, None] * J, jnp.diag(1.0 - ac) - delta * jnp.diag(ac),
-                 jnp.zeros((m, n), f64)],
-                [jnp.diag(ax), jnp.zeros((n, m), f64),
-                 jnp.diag(1.0 - ax) - delta * jnp.diag(ax)],
-            ])
-            r = jnp.concatenate([r1, r2, r3])
+            rc = ac * ((c - b_c) + J @ t)
+            Jm = (ac[:, None] * J) * free[None, :]
+            Dc = delta * ac + (1.0 - ac)
+            M = jnp.block([[Wm, Jm.T], [Jm, -jnp.diag(Dc)]])
+            r = jnp.concatenate([rz, rc])
         else:
-            K = jnp.block([
-                [W + delta * In, In],
-                [jnp.diag(ax), jnp.diag(1.0 - ax) - delta * jnp.diag(ax)],
-            ])
-            r = jnp.concatenate([r1, r3])
-        # a plain low-precision solve suffices: refinement accuracy is set
-        # by the fp64 residual, and an inner solve-refinement pass was
-        # measured to cost ~20% without certifying a single extra instance
-        # (the stragglers are active-set-limited, not solve-precision-
-        # limited — hence the per-step active-set refresh above)
-        sol = jnp.linalg.solve(K.astype(sd), (-r).astype(sd)).astype(f64)
-        dz = sol[:n]
-        dlam = sol[n:n + m]
-        dlb = sol[n + m:]
+            M = Wm
+            r = rz
+        sol = _newton_kkt_solve(M.astype(sd), (-r).astype(sd)) \
+            if kkt_solver == "ldlt" else \
+            jnp.linalg.solve(M.astype(sd), (-r).astype(sd))
+        sol = sol.astype(f64)
         ok = jnp.all(jnp.isfinite(sol))
-        z2 = jnp.where(ok, z + dz, z)
-        lam2 = jnp.where(ok, lam + dlam, lam)
-        lam_box2 = jnp.where(ok, lam_box + dlb, lam_box)
-        # keep iterates inside the box (active-set solve can overshoot by
-        # rounding; clipping is exact for the frozen active set)
-        z2 = jnp.clip(z2, lbx, ubx)
+        dz = jnp.where(ok, sol[:n], 0.0)
+        z2 = jnp.clip(z + dz, lbx, ubx)         # exact for the active set
+        lam2 = jnp.where(ok, ac * (lam + sol[n:]), lam) if m else lam
         g2, c2, J2 = _eval_parts(nlp, z2, p64)
-        return (z2, lam2, lam_box2, g2, c2, J2), None
+        # active box duals from exact fp64 stationarity at the new point;
+        # inactive box duals are zero
+        lam_box2 = jnp.where(
+            ok, -ax * (g2 + (J2.T @ lam2 if m else 0.0)), lam_box)
+        new = (z2, lam2, lam_box2, g2, c2, J2)
+        # the iterate always advances (Newton paths are routinely
+        # non-monotone in the max-norm — pinning the iterate to the best
+        # point was measured to freeze 20+/512 kite lanes at their first
+        # transient increase), but the *returned* point is the best iterate
+        # by true fp64 KKT residual, so a factorisation breakdown or basin
+        # departure can never degrade the result below the input
+        r_new = residual_of(new)
+        improved = r_new <= best_r
+        best2 = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(improved, a, b),
+            (z2, lam2, lam_box2), best)
+        return (new, best2, jnp.minimum(r_new, best_r)), None
 
-    (z2, lam2, lam_box2, g2, c2, J2), _ = jax.lax.scan(
-        step, (z, lam, lam_box, g0, c0, J0), None, length=iters)
-
-    # accept only if the refinement improved the true KKT error — both
-    # certificates come from already-paid evaluations (g0/c0/J0 at the
-    # input, the last step's g2/c2/J2 at the output)
-    r_before = _kkt_from_parts(nlp, g0, c0, J0, z, lam, lam_box,
-                               cl, cu, lbx, ubx).max
-    r_after = _kkt_from_parts(nlp, g2, c2, J2, z2, lam2, lam_box2,
-                              cl, cu, lbx, ubx).max
-    ok = r_after <= r_before
-    pick = lambda a, b: jnp.where(ok, a, b)
-    out = (pick(z2, z), pick(lam2, lam), pick(lam_box2, lam_box))
+    start = (z, lam, lam_box, g0, c0, J0)
+    r0 = residual_of(start)
+    (_, best, best_r), _ = jax.lax.scan(
+        step, (start, (z, lam, lam_box), r0), None, length=iters)
     if return_residual:
-        return out + (jnp.where(ok, r_after, r_before),)
-    return out
+        return best + (best_r,)
+    return best
