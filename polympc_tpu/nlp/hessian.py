@@ -162,51 +162,88 @@ def regularize(H, mode: str, eps: float):
         lower = jnp.min(d - radii)
         shift = jnp.maximum(0.0, -lower + eps)
         return H + shift * jnp.eye(H.shape[0], dtype=H.dtype)
-    if mode == "mirror":
-        # eigenvalue mirroring via the Newton-Schulz matrix-sign iteration:
-        # |H| = sign(H) H with sign computed from X <- 1.5 X - 0.5 X^3.
-        # Same semantics as "eigen" (negative eigenvalues flipped positive)
-        # but pure batched matmuls — ~25x faster than eigh on TPU where the
-        # MXU crushes small-matrix products and eigh is iterative/scalar.
+    if mode in ("mirror", "clip"):
+        # Newton-Schulz matrix-sign iteration: |H| = sign(H) H with sign
+        # computed from X <- 1.5 X - 0.5 X^3 — pure batched matmuls, ~25x
+        # faster than eigh on TPU where the MXU crushes small-matrix
+        # products and eigh is iterative/scalar.
+        #   "mirror": |H| + ridge — negative eigenvalues flipped positive,
+        #             the same semantics as "eigen" (and the reference's
+        #             hand-rolled regulariser, mpc_wrapper_test.cpp:90-118);
+        #   "clip":   (H + |H|)/2 + ridge — the PSD-cone projection
+        #             (negative curvature directions flattened to the
+        #             ridge), which takes more gradient-like steps through
+        #             indefinite regions.
         Hs = 0.5 * (H + H.T)
         n = Hs.shape[0]
         eye = jnp.eye(n, dtype=Hs.dtype)
-        # tight spectral-norm estimate (power iteration on H^2) — a loose
-        # norm-1 bound shrinks the small eigenvalues and stalls the sign
-        # iteration's slow initial phase
-        v = Hs[:, 0] + Hs[:, -1] + 1e-3
-        for _ in range(8):
-            v = Hs @ (Hs @ v)
-            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
-        nrm = jnp.sqrt(jnp.maximum(jnp.linalg.norm(Hs @ (Hs @ v)), 1e-24))
+        # Newton-Schulz converges only for ||X0||_2 < sqrt(3): the scaling
+        # must be a GUARANTEED spectral-norm upper bound.  (A power-iteration
+        # estimate is tighter but can undershoot — on the race-car Hessian
+        # it silently diverged the sign iteration to NaN, which froze the
+        # whole SQP because every QP step got rejected.)  For symmetric Hs,
+        # both the max-abs-row-sum norm and the Frobenius norm bound the
+        # spectral norm from above; take the smaller.
+        nrm_inf = jnp.max(jnp.sum(jnp.abs(Hs), axis=1))
+        nrm_fro = jnp.sqrt(jnp.sum(Hs * Hs))
+        nrm = jnp.maximum(jnp.minimum(nrm_inf, nrm_fro), 1e-12)
         X = Hs / (1.01 * nrm)
         for _ in range(40):
             X = 1.5 * X - 0.5 * (X @ X) @ X
         absH = 0.5 * ((X @ Hs) + (X @ Hs).T)   # symmetrise |H|
-        Hm = 0.5 * (Hs + absH)
+        Hm = absH if mode == "mirror" else 0.5 * (Hs + absH)
         # floor: NS leaves near-zero eigenvalues near zero (sign is slow
         # there); a relative ridge keeps the QP well conditioned
         scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Hs))), 1.0)
-        return Hm + (eps * scale) * eye
+        Hm = Hm + (eps * scale) * eye
+        # belt-and-braces: if the sign iteration still failed (pathological
+        # input), fall back to the Gershgorin shift rather than poisoning
+        # the QP with NaNs
+        d = jnp.diagonal(Hs)
+        radii = jnp.sum(jnp.abs(Hs), axis=1) - jnp.abs(d)
+        shift = jnp.maximum(0.0, -jnp.min(d - radii) + eps * scale)
+        gersh = Hs + shift * eye
+        return jnp.where(jnp.all(jnp.isfinite(Hm)), Hm, gersh)
     if mode == "eigmin":
-        # shift by an estimate of the most-negative eigenvalue from a few
-        # power iterations on (c I - H): pure batched matvecs (MXU-friendly),
-        # no eigh — the TPU hot-path regulariser.  The Gershgorin bound c
-        # guarantees c I - H is PSD, so power iteration converges to
-        # c - lambda_min(H) from above.
+        # shift by an estimate of the most-negative eigenvalue from power
+        # iterations on (c I - H): pure batched matvecs (MXU-friendly), no
+        # eigh.  APPROXIMATE by construction: a power-iteration Rayleigh
+        # quotient can overestimate lambda_min when the bottom of the
+        # spectrum is clustered, leaving the result slightly indefinite
+        # (measured <= ~2% of ||H|| on adversarial random matrices).  The
+        # SQP tolerates that — non-finite/diverged QP steps are rejected
+        # per iteration — so this mode trades a strict PD guarantee for
+        # matvec-only cost; use "mirror"/"eigen"/"gershgorin" when the
+        # guarantee matters.
         Hs = 0.5 * (H + H.T)
         n = Hs.shape[0]
         d = jnp.diagonal(Hs)
-        radii = jnp.sum(jnp.abs(Hs), axis=1) - jnp.abs(d)
-        c = jnp.max(d + radii)              # >= lambda_max(H)
-        v = jnp.full((n,), 1.0 / jnp.sqrt(jnp.asarray(n, Hs.dtype)),
-                     Hs.dtype)
-        for _ in range(16):
-            w = c * v - Hs @ v
-            v = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
-        lam_min = v @ (Hs @ v)              # Rayleigh quotient ~ lambda_min
+        # phase 1: spectral-norm estimate by power iteration on H^2, so the
+        # shift c hugs lambda_max.  (The Gershgorin bound used previously
+        # inflates c by up to the row sums, which compresses (cI - H)'s
+        # relative gaps and stalls phase 2 — measured: 16 iterations from a
+        # constant start left lambda_min overestimated by half the spectrum
+        # width on random indefinite matrices, returning an INDEFINITE
+        # "regularised" Hessian.)
+        idx = jnp.arange(n, dtype=Hs.dtype)
+        v = jnp.cos(idx * 1.7) + 0.3        # deterministic, unaligned start
+        for _ in range(12):
+            v = Hs @ (Hs @ v)
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+        nrm2 = jnp.sqrt(jnp.maximum(
+            jnp.linalg.norm(Hs @ (Hs @ v)), 1e-30))
+        c = 1.05 * nrm2
+        # phase 2: power iteration on (cI - H) -> dominant eigenvalue is
+        # c - lambda_min with healthy gap ratios now that c ~ ||H||
+        w = jnp.sin(idx * 2.3) + 0.2
+        for _ in range(20):
+            w = c * w - Hs @ w
+            w = w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+        lam_min = w @ (Hs @ w)              # Rayleigh quotient ~ lambda_min
         scale = jnp.maximum(jnp.max(jnp.abs(d)), 1.0)
-        shift = jnp.maximum(0.0, -lam_min) + eps * scale
+        # 1.1 safety on the negative part: the Rayleigh quotient only ever
+        # OVERestimates lambda_min, so widen the shift slightly
+        shift = 1.1 * jnp.maximum(0.0, -lam_min) + eps * scale
         return Hs + shift * jnp.eye(n, dtype=Hs.dtype)
     if mode == "ridge":
         # fixed relative ridge: cheapest TPU option (no eigh, no row sums);

@@ -85,7 +85,7 @@ class SQPSettings:
     eps_viol: float = 1e-4     # max constraint violation at termination
     eps_stat: float = 1e-3     # Lagrangian-gradient (stationarity) tolerance
     hessian: str = "bfgs"      # "bfgs" | "sr1" | "block_bfgs" | "exact" | "gauss_newton"
-    reg: str = "eigen"         # "none" | "gershgorin" | "eigen" | "eigmin" | "ridge"
+    reg: str = "eigen"  # none|gershgorin|eigen|eigmin|mirror|clip|ridge
     reg_eps: float = 1e-6
     line_search: str = "merit"  # "merit" | "filter"
     merit_mu_safety: float = 1e-2   # mu = ||lam||_inf + safety
@@ -105,7 +105,8 @@ class SQPSettings:
                 and 0 < self.tau < 1 and 0 < self.eta < 1
                 and self.hessian in ("bfgs", "sr1", "block_bfgs", "exact",
                                      "gauss_newton")
-                and self.reg in ("none", "gershgorin", "eigen", "eigmin", "mirror", "ridge")
+                and self.reg in ("none", "gershgorin", "eigen", "eigmin",
+                                 "mirror", "clip", "ridge")
                 and self.line_search in ("merit", "filter")
                 and self.filter_depth >= 1 and self.trace_iters >= 0)
 

@@ -134,3 +134,38 @@ def test_iteration_trace():
     np.testing.assert_allclose(last[3], float(sol.dual_step), rtol=1e-6)
     # costs decrease over the trace for this well-behaved problem tail
     assert tr[k - 1, 0] <= tr[0, 0]
+
+
+def test_regularize_modes_spectra():
+    """Hessian regularisers: every mode must return finite PD matrices for
+    indefinite inputs at any scale, and the matmul-only Newton-Schulz modes
+    must match their eigh-computed semantics: "mirror" = |H| ("eigen",
+    the reference's hand regulariser, mpc_wrapper_test.cpp:90-118),
+    "clip" = PSD projection.  Regression: the sign iteration used to be
+    scaled by a power-iteration norm *estimate*, which undershot on the
+    race-car Hessian and silently produced NaN — freezing the whole SQP
+    because every QP step was rejected."""
+    from polympc_tpu.nlp.hessian import regularize
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(4, 60))
+        A = rng.standard_normal((n, n))
+        H = jnp.asarray(0.5 * (A + A.T) * rng.uniform(0.1, 500))
+        evH = np.linalg.eigvalsh(np.asarray(H, np.float64))
+        top = np.max(np.abs(evH))
+        for mode, target in [("mirror", np.abs(evH)),
+                             ("clip", np.maximum(evH, 0.0)),
+                             ("eigen", None), ("eigmin", None),
+                             ("gershgorin", None), ("ridge", None)]:
+            Hr = np.asarray(regularize(H, mode, 1e-7), np.float64)
+            assert np.all(np.isfinite(Hr)), (trial, mode)
+            ev = np.linalg.eigvalsh(Hr)
+            if mode == "eigmin":
+                # estimate-based: approximately PD by documented contract
+                assert ev.min() > -0.05 * top, (trial, mode, ev.min())
+            elif mode != "ridge":  # ridge can stay indefinite by design
+                assert ev.min() > 0.0, (trial, mode, ev.min())
+            if target is not None:
+                rel = np.abs(np.sort(ev) - np.sort(target)) / top
+                assert rel.max() < 2e-2, (trial, mode, rel.max())
