@@ -1,0 +1,296 @@
+"""Reference headline-benchmark parity: the three workloads of the
+reference's published benchmark table (applications.rst:619-631):
+
+  | workload              | PC (Visual C++) | Speedgoat | Nvidia Xavier |
+  |-----------------------|-----------------|-----------|---------------|
+  | race-car NMPC OCP     |  6.21 / 7.9 ms  | 10.7 ms   | 15.43 ms      |
+  | spline fitting (QP)   |  0.02 / 0.03 ms | 0.03 ms   | 0.053 ms      |
+  | frame transform (NLP) |  0.012 / 0.16 ms| 0.02 ms   | 0.044 ms      |
+
+This harness runs the same three workloads TPU-natively and reports, per
+workload:
+
+  * warm-started single-instance latency (mean / max ms over ``reps``
+    dispatches) — the apples-to-apples number against the reference's
+    single-threaded CPU timings (it includes the host->TPU dispatch
+    overhead that dominates sub-millisecond problems);
+  * batched throughput (``batch`` instances per jitted call, amortised
+    us/solve and solves/s) — the TPU-native deployment mode the reference
+    has no analogue of (SURVEY.md §2.3: the reference is single-process,
+    single-thread).
+
+Convergence definitions match the reference defaults: SQP steps 1e-3
+(sqp_base.hpp:29-30), inner/standalone QP 1e-4 (sqp_base.hpp:85-86).
+
+Usage:  python benchmarks/headline.py [--json out.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.setrecursionlimit(100000)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_latency(fn, args, reps=50):
+    """Mean/max wall ms of a blocking dispatch of ``fn(*args)``."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ts = np.asarray(ts)
+    return float(ts.mean()), float(ts.max()), out
+
+
+def _time_throughput(fn, args, reps=10):
+    """Wall seconds per call of a blocking batched dispatch."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+# --------------------------------------------------------------------------
+# 1. spline-fitting QP (applications.rst:404-484; "Spline fitting" row)
+# --------------------------------------------------------------------------
+def bench_spline_qp(dtype=jnp.float32, batch=4096, reps=50):
+    from polympc_tpu.control.path import spline_fit_qp_data
+    from polympc_tpu.qp.box_admm import box_admm_solve
+    from polympc_tpu.qp.types import ADMMSettings, QPData
+    from polympc_tpu.utils import status as st
+
+    # the reference fits per-chunk splines on equally spaced track samples;
+    # 8 segments / 81 samples matches the repo's parity test
+    # (tests/test_race_car.py:87-98)
+    s = np.linspace(0.0, 10.0, 81)
+    y = np.sin(0.7 * s) + 0.1 * s
+    qp64, _ = spline_fit_qp_data(s, y, n_segments=8, dtype=jnp.float64)
+    qp = QPData(*(jnp.asarray(a, dtype) for a in qp64))
+    settings = ADMMSettings(rho=0.1, eps_abs=1e-4, eps_rel=1e-4,
+                            max_epochs=10, check_every=25, equil_iters=4,
+                            kkt_solver="pallas")
+
+    solve = jax.jit(lambda q: box_admm_solve(q, settings=settings))
+    mean_ms, max_ms, sol = _time_latency(solve, (qp,), reps)
+    assert int(sol.status) == st.SOLVED, "spline QP did not converge"
+
+    # batched: same spline QP with jittered data (fresh linear term per
+    # lane), the per-chunk fitting pattern of a long track
+    rng = np.random.default_rng(1)
+    ys = y[None] + 0.05 * rng.standard_normal((batch, len(s)))
+    hs = jnp.asarray(np.stack(
+        [np.asarray(spline_fit_qp_data(s, yy, 8)[0].h) for yy in ys]), dtype)
+    batched = jax.jit(jax.vmap(
+        lambda h: box_admm_solve(QPData(qp.H, h, qp.A, qp.al, qp.au,
+                                        qp.xl, qp.xu), settings=settings)))
+    dt, sols = _time_throughput(batched, (hs,))
+    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    return {
+        "workload": "spline_fit_qp",
+        "n": int(qp.H.shape[0]), "m": int(qp.A.shape[0]),
+        "latency_ms_mean": round(mean_ms, 4), "latency_ms_max": round(max_ms, 4),
+        "batch": batch, "batch_solved": solved,
+        "throughput_us_per_solve": round(dt / batch * 1e6, 3),
+        "solves_per_s": round(batch / dt, 1),
+        "reference_ms": {"pc": 0.02, "speedgoat": 0.03, "xavier": 0.053},
+    }
+
+
+# --------------------------------------------------------------------------
+# 2. frame-transform NLP (applications.rst:489-510; "Frame Transform" row)
+# --------------------------------------------------------------------------
+def bench_frame_transform(dtype=jnp.float32, batch=4096, reps=50):
+    from polympc_tpu.control.path import track_from_curvature, _projection_nlp
+    from polympc_tpu.models import make_wave_track
+    from polympc_tpu.nlp.sqp import sqp_solve
+    from polympc_tpu.nlp.types import NLPBounds, SQPSettings
+    from polympc_tpu.qp.types import ADMMSettings
+    from polympc_tpu.utils import status as st
+
+    kappa = make_wave_track(length=200.0, amplitude=0.02, waves=3)
+    path = track_from_curvature(kappa, s_max=200.0)
+    nlp = _projection_nlp(path)
+    bounds = NLPBounds(lbx=jnp.asarray([0.0], dtype),
+                       ubx=jnp.asarray([path.s_max], dtype),
+                       gl=jnp.zeros(0, dtype), gu=jnp.zeros(0, dtype))
+    settings = SQPSettings(
+        hessian="exact", max_iter=10, eps_prim=1e-3, eps_dual=1e-3,
+        qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4, max_epochs=4,
+                        check_every=25))
+
+    # warm-started projection: previous s as the guess (the reference's
+    # per-control-step usage, the configuration its 0.012 ms row times)
+    s_true = 120.0
+    pt = jnp.asarray([float(path.Xc(s_true)), float(path.Yc(s_true))], dtype)
+    s_prev = jnp.asarray([s_true - 0.8], dtype)
+
+    solve = jax.jit(lambda s0, p: sqp_solve(nlp, s0, p=p, bounds=bounds,
+                                            settings=settings))
+    mean_ms, max_ms, sol = _time_latency(solve, (s_prev, pt), reps)
+    assert int(sol.status) == st.SOLVED
+    assert abs(float(sol.x[0]) - s_true) < 1e-2
+
+    # batched: one projection per lane (a whole fleet / particle filter)
+    rng = np.random.default_rng(2)
+    s_b = rng.uniform(5.0, 195.0, batch)
+    pts = jnp.asarray(np.stack([
+        np.asarray([float(path.Xc(si)), float(path.Yc(si))]) for si in s_b
+    ]), dtype)
+    s0s = jnp.asarray(s_b + rng.uniform(-1.0, 1.0, batch), dtype)[:, None]
+    batched = jax.jit(jax.vmap(
+        lambda s0, p: sqp_solve(nlp, s0, p=p, bounds=bounds,
+                                settings=settings)))
+    dt, sols = _time_throughput(batched, (s0s, pts))
+    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    err = float(np.max(np.abs(np.asarray(sols.x)[:, 0] - s_b)))
+    return {
+        "workload": "frame_transform_nlp",
+        "latency_ms_mean": round(mean_ms, 4), "latency_ms_max": round(max_ms, 4),
+        "batch": batch, "batch_solved": solved, "batch_max_s_err": round(err, 5),
+        "throughput_us_per_solve": round(dt / batch * 1e6, 3),
+        "solves_per_s": round(batch / dt, 1),
+        "reference_ms": {"pc": 0.012, "speedgoat": 0.02, "xavier": 0.044},
+    }
+
+
+# --------------------------------------------------------------------------
+# 3. race-car path-following NMPC OCP (the 6.21 ms row)
+# --------------------------------------------------------------------------
+def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
+    from polympc_tpu.basis import Chebyshev, SegmentedBasis
+    from polympc_tpu.models import CarParams, make_wave_track, race_car_ocp
+    from polympc_tpu.nlp.sqp import sqp_solve
+    from polympc_tpu.nlp.types import NLPBounds, SQPSettings
+    from polympc_tpu.ocp import transcribe, ocp_bounds
+    from polympc_tpu.qp.types import ADMMSettings
+    from polympc_tpu.utils import status as st
+
+    kappa = make_wave_track(length=200.0, amplitude=0.02, waves=3)
+    ocp = race_car_ocp(kappa)
+    mesh = SegmentedBasis(Chebyshev(5), 2)
+    tr = transcribe(ocp, mesh, x_scale=[10.0, 1.0, 1.0, 30.0, 1.0, 1.0],
+                    u_scale=[0.4, 1e4, 1e4])
+    prm = tr.params(d=[15.0], t0=0.0, tf=2.0, dtype=dtype)
+    bounds = ocp_bounds(
+        tr, ul=[-0.4, -2e4, -2e4], uu=[0.4, 2e4, 2e4],
+        xl=[1.0, -5.0, -3.0, 0.0, -2.0, -1.0],
+        xu=[40.0, 5.0, 3.0, 1e3, 2.0, 1.0], dtype=dtype)
+    # reference-default tolerances: SQP 1e-3, inner QP 1e-4.  The car's
+    # Pacejka Hessian needs eigmin regularisation + the active-set polish
+    # for the SQP dual-step test to settle (measured on TPU: mirror/no-
+    # polish stalls at ds ~ 0.4, eigmin+polish converges in 59 cold iters)
+    settings = SQPSettings(
+        hessian="exact", max_iter=80, reg="eigmin",
+        eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
+        qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
+                        max_epochs=8, check_every=50, equil_iters=0,
+                        kkt_solver="pallas", structure=tr.bbt_structure(),
+                        polish=True))
+    # warm re-solves converge on their own; max_iter is only a cap (the
+    # while_loop exits at convergence), so keep the cold margin
+    settings_warm = settings
+    nx = ocp.nx
+    sx = jnp.asarray(tr.x_scale, dtype)
+
+    def pin_x0(b, x0):
+        x0s = x0 / sx
+        return b._replace(lbx=b.lbx.at[:nx].set(x0s),
+                          ubx=b.ubx.at[:nx].set(x0s))
+
+    @jax.jit
+    def solve_cold(x0, z0, lam0, lam_box0):
+        b = pin_x0(bounds, x0)
+        return sqp_solve(tr.nlp, z0, p=prm, bounds=b, lam0=lam0,
+                         lam_box0=lam_box0, settings=settings)
+
+    @jax.jit
+    def solve(x0, z0, lam0, lam_box0):
+        b = pin_x0(bounds, x0)
+        return sqp_solve(tr.nlp, z0, p=prm, bounds=b, lam0=lam0,
+                         lam_box0=lam_box0, settings=settings_warm)
+
+    x0 = jnp.asarray([10.0, 0.0, 0.0, 0.0, 0.4, 0.05], dtype)
+    z_cold = tr.rollout_guess(x0, prm)
+    sol = solve_cold(x0, z_cold, jnp.zeros(tr.nlp.m, dtype),
+                     jnp.zeros(tr.nlp.n, dtype))
+    jax.block_until_ready(sol.x)
+    assert int(sol.status) == st.SOLVED, "race-car cold solve failed"
+
+    # warm-started MPC re-solve (the reference's closed-loop measurement:
+    # nmpf.hpp:467-470 warm start, applications.rst timings are per control
+    # step): perturb x0, warm start from the previous solution
+    x1 = x0 + jnp.asarray([0.2, 0.01, 0.0, 0.5, -0.02, 0.0], dtype)
+    mean_ms, max_ms, sol1 = _time_latency(
+        solve, (x1, sol.x, sol.lam, sol.lam_box), reps)
+    assert int(sol1.status) == st.SOLVED
+    warm_iters = int(sol1.iters)
+
+    # batched throughput: a fleet of cars at jittered states, warm-started
+    rng = np.random.default_rng(3)
+    dx = rng.standard_normal((batch, 6)) * \
+        np.array([0.3, 0.02, 0.02, 0.5, 0.05, 0.02])
+    x0s = jnp.asarray(np.asarray(x0)[None] + dx, dtype)
+    zs = jnp.broadcast_to(sol.x, (batch,) + sol.x.shape)
+    lams = jnp.broadcast_to(sol.lam, (batch,) + sol.lam.shape)
+    lbs = jnp.broadcast_to(sol.lam_box, (batch,) + sol.lam_box.shape)
+    batched = jax.jit(jax.vmap(solve))
+    dt, sols = _time_throughput(batched, (x0s, zs, lams, lbs))
+    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    return {
+        "workload": "race_car_nmpc_ocp",
+        "n": int(tr.nlp.n), "m": int(tr.nlp.m),
+        "latency_ms_mean": round(mean_ms, 4), "latency_ms_max": round(max_ms, 4),
+        "warm_iters": warm_iters,
+        "batch": batch, "batch_solved": solved,
+        "throughput_us_per_solve": round(dt / batch * 1e6, 3),
+        "solves_per_s": round(batch / dt, 1),
+        "reference_ms": {"pc": 6.21, "speedgoat": 10.7, "xavier": 15.43},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None, help="write results JSON here")
+    ap.add_argument("--reps", type=int, default=50)
+    args = ap.parse_args()
+
+    results = {"platform": jax.default_backend(),
+               "devices": len(jax.devices()),
+               "workloads": []}
+    for fn in (bench_spline_qp, bench_frame_transform, bench_race_car_ocp):
+        r = fn(reps=args.reps)
+        results["workloads"].append(r)
+        print(json.dumps(r), flush=True)
+
+    print("\n== headline parity vs reference (PC column) ==")
+    for r in results["workloads"]:
+        ref = r["reference_ms"]["pc"]
+        lat = r["latency_ms_mean"]
+        thr = r["throughput_us_per_solve"] / 1e3
+        print(f"{r['workload']:24s} ref {ref:8.3f} ms | "
+              f"latency {lat:8.3f} ms ({ref/lat:6.1f}x) | "
+              f"batched {thr:8.4f} ms/solve ({ref/thr:8.1f}x)")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Horizon-scaling study: batched kite-NMPF solves/s vs horizon length.
+
+SURVEY.md §5 frames the collocation horizon as the reference's "sequence
+axis": NUM_NODES = POLY_ORDER*NUM_SEGMENTS + 1.  This sweep measures how
+the batched solver scales with NUM_SEGMENTS for the two inner-QP KKT
+backends:
+
+  * ``dense``  — lane-batched dense LDL^T epoch kernel (ops/admm_epoch.py):
+    O(K^3) factor FLOPs and O(K^2) VMEM per lane; stops fitting VMEM as the
+    horizon grows.
+  * ``bbt``    — bordered-block-tridiagonal structured kernel
+    (ops/bbt_kernel.py): ~K^3/S^2 factor FLOPs, O(K^2/S) VMEM — the
+    reference's sparse-KKT scaling story (continuous_ocp.hpp:341-376 nnz
+    estimators + SimplicialLDLT) in TPU-native form.
+
+For each point: converged solves/s/chip, wall s/batch, mean SQP iters, and
+the factor-FLOP estimate per epoch so the achieved GFLOP/s can be compared
+against the kernels' rooflines.
+
+Usage: python benchmarks/scaling.py [--json out.json] [--segments 2 4 8 16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.setrecursionlimit(1000000)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def run_point(S: int, backend: str, B: int, reps: int = 3):
+    from polympc_tpu.basis import Chebyshev, SegmentedBasis
+    from polympc_tpu.control.nmpf import augment_ocp
+    from polympc_tpu.models import kite_dynamics, kite_output, kite_path
+    from polympc_tpu.nlp import SQPSettings
+    from polympc_tpu.ocp import transcribe, ocp_bounds
+    from polympc_tpu.parallel import make_batch_solver
+    from polympc_tpu.qp.types import ADMMSettings
+    from polympc_tpu.ops.admm_epoch import epoch_kernel_fits
+    from polympc_tpu.ops.bbt_kernel import bbt_kernel_fits
+    from polympc_tpu.utils import status as st
+
+    dtype = jnp.float32
+    ocp = augment_ocp(lambda x, u: kite_dynamics(x, u), kite_output,
+                      kite_path, nx=3, nu=1, ny=2)
+    mesh = SegmentedBasis(Chebyshev(5), S)
+    tr = transcribe(ocp, mesh)
+    prm = tr.params(d=[0.05], t0=0.0, tf=2.0, dtype=dtype)
+    bounds = ocp_bounds(tr, ul=[-5.0, -10.0], uu=[5.0, 10.0],
+                        xl=[0.0, -np.pi / 2, -np.pi, -100.0, -100.0],
+                        xu=[np.pi / 2, np.pi / 2, np.pi, 100.0, 100.0],
+                        dtype=dtype)
+    n, m = tr.nlp.n, tr.nlp.m
+    K = n + m
+    stb = tr.bbt_structure()
+    fits = {"dense": epoch_kernel_fits(n, m), "bbt": bbt_kernel_fits(stb)}
+    if not fits[backend]:
+        return {"segments": S, "backend": backend, "K": K,
+                "skipped": "kernel does not fit VMEM at this size"}
+
+    settings = SQPSettings(
+        hessian="exact", max_iter=12, reg="mirror",
+        eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
+        qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
+                        max_epochs=3, check_every=50, equil_iters=0,
+                        kkt_solver="pallas",
+                        structure=stb if backend == "bbt" else None,
+                        polish=False))
+    solve = make_batch_solver(tr, bounds, prm, settings)
+
+    rng = np.random.default_rng(0)
+    s0 = rng.uniform(0.0, 2 * np.pi, B)
+    theta0 = np.pi / 6 + 0.2 * np.sin(2 * s0) + rng.normal(0, 0.05, B)
+    phi0 = 0.8 * np.cos(s0) + rng.normal(0, 0.05, B)
+    gamma0 = rng.uniform(-0.5, 0.5, B)
+    x0s = jnp.asarray(
+        np.stack([np.clip(theta0, 0.05, 1.5), np.clip(phi0, -1.5, 1.5),
+                  gamma0, s0, np.full(B, 0.05)], axis=1), dtype)
+
+    zw = jnp.zeros((n,), dtype)
+    lw = jnp.zeros((m,), dtype)
+    jax.block_until_ready(jax.jit(tr.nlp.lag_hessian)(zw, lw, prm))
+    rollout = jax.jit(jax.vmap(lambda x0: tr.rollout_guess(x0, prm)))
+
+    z0s = rollout(x0s)
+    sols = solve(x0s, z0s)
+    jax.block_until_ready(sols.x)
+
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        z0s = rollout(x0s)
+        sols = solve(x0s, z0s)
+        jax.block_until_ready(sols.x)
+    dt = (time.perf_counter() - t0) / reps
+
+    solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    mean_iters = float(np.asarray(sols.iters).mean())
+    # factor FLOPs per lane per epoch: dense K^3/3; BBT: S blocks of
+    # (k+nxr)^3/3-ish plus border terms — use S*k^3/3 as the block estimate
+    k = stb.k
+    factor_flops = (K ** 3 / 3 if backend == "dense" else S * k ** 3 / 3)
+    # epochs per solve = max_epochs * mean SQP iters (upper bound; frozen
+    # lanes stop factoring but the while_loop runs to the slowest lane)
+    epochs = 3 * mean_iters
+    gflops = factor_flops * epochs * B / dt / 1e9
+    return {
+        "segments": S, "backend": backend, "nodes": 5 * S + 1,
+        "K": K, "k_block": k, "batch": B,
+        "wall_s_per_batch": round(dt, 4),
+        "solves_per_s_per_chip": round(
+            solved / dt / max(1, len(jax.devices())), 1),
+        "solved": solved, "mean_sqp_iters": round(mean_iters, 2),
+        "factor_gflops_per_s_est": round(gflops, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--segments", type=int, nargs="+",
+                    default=[2, 4, 8, 16])
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    rows = []
+    for S in args.segments:
+        B = max(128, 1024 // S)
+        for backend in ("dense", "bbt"):
+            r = run_point(S, backend, B, args.reps)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+
+    print("\n== horizon scaling (kite NMPF, Chebyshev(5) x S segments) ==")
+    for r in rows:
+        if "skipped" in r:
+            print(f"S={r['segments']:3d} {r['backend']:5s} K={r['K']:5d}  "
+                  f"SKIPPED: {r['skipped']}")
+        else:
+            print(f"S={r['segments']:3d} {r['backend']:5s} K={r['K']:5d}  "
+                  f"{r['solves_per_s_per_chip']:9.1f} solves/s  "
+                  f"wall {r['wall_s_per_batch']:7.3f}s/batch(B={r['batch']})  "
+                  f"iters {r['mean_sqp_iters']:5.2f}")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
