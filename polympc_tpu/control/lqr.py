@@ -55,8 +55,37 @@ def _care_residual(P, A, B, Q, R_inv):
     return A.T @ P + P @ A - P @ B @ R_inv @ B.T @ P + Q
 
 
+def _care_exact_step(a, b, c):
+    """Exact line search for the Newton-CARE step (ref: lqr.hpp:93-142,
+    ``line_search_care``): minimise the quartic
+
+        f(t) = ||R(X + tH)||_F^2 = a (1-t)^2 - 2 b (1-t) t^2 + c t^4
+
+    over t in [1e-5, 2], where a = tr(R^2), b = tr(R V), c = tr(V^2) with
+    V = H G H (G = B R^{-1} B') — the closed form follows from
+    R(X+tH) = (1-t) R(X) - t^2 H G H when H solves the Newton-Lyapunov
+    equation.  The reference finds the cubic f'(t) roots with Eigen's
+    PolynomialSolver; on TPU a dense grid + Newton polish of the best
+    bracket is branch-free and exact to fp64 roundoff (f has <= 3 critical
+    points, so a 129-point grid always brackets the global minimiser).
+    """
+    f = lambda t: a * (1 - t) ** 2 - 2 * b * (1 - t) * t ** 2 + c * t ** 4
+    fp = lambda t: -2 * a * (1 - t) - 2 * b * (2 * t - 3 * t ** 2) \
+        + 4 * c * t ** 3
+    fpp = lambda t: 2 * a - 4 * b + 12 * b * t + 12 * c * t ** 2
+    ts = jnp.linspace(1e-5, 2.0, 129)
+    t = ts[jnp.argmin(f(ts))]
+    for _ in range(4):   # Newton polish of the bracketed critical point
+        step = fp(t) / jnp.where(jnp.abs(fpp(t)) > 1e-300, fpp(t), 1.0)
+        t2 = jnp.clip(t - step, 1e-5, 2.0)
+        t = jnp.where(f(t2) <= f(t), t2, t)
+    # degenerate direction (V ~ 0): the full Newton step is exact
+    return jnp.where(c > 1e-300 * jnp.maximum(a, 1.0), t, 1.0)
+
+
 @full_precision
-def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None):
+def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None,
+         line_search: bool = False):
     """Continuous algebraic Riccati equation:
         A'P + PA - P B R^{-1} B' P + Q = 0
     by Newton-Kleinman iteration with a stabilising initialisation
@@ -67,6 +96,13 @@ def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None):
         (A - B K_k)' P + P (A - B K_k) = -(Q + K_k' R K_k),
     which converges quadratically and monotonically from a stabilising guess
     (Kleinman 1968).
+
+    line_search=True enables the reference's exact quartic line search
+    (lqr.hpp:93-142): each iteration takes X + t H along the Newton
+    direction H with t minimising ||R(X + tH)||_F^2 over [1e-5, 2] in
+    closed form.  Damped steps (t < 1) rescue iterations whose full
+    Kleinman step overshoots on ill-conditioned problems; extended steps
+    (t up to 2) accelerate the initial phase far from the solution.
     """
     n = A.shape[0]
     R_inv = jnp.linalg.inv(R)
@@ -89,10 +125,24 @@ def care(A, B, Q, R, num_newton: int = 30, shift: float | None = None):
     Acl0 = A - B @ K0
     P0 = lyapunov(Acl0, Q + K0.T @ R @ K0)
 
+    G = B @ R_inv @ B.T
+
     def newton_step(P, _):
         K = R_inv @ B.T @ P
         Acl = A - B @ K
-        P_next = lyapunov(Acl, Q + K.T @ R @ K)
+        if line_search:
+            # Newton direction H: Acl'H + H Acl + R(X) = 0, then the exact
+            # quartic step (lqr.hpp:108-127: V = H G H, a/b/c traces)
+            RX = _care_residual(P, A, B, Q, R_inv)
+            H = lyapunov(Acl, RX)
+            V = H @ G @ H
+            a = jnp.sum(RX * RX)
+            b = jnp.sum(RX * V)
+            c = jnp.sum(V * V)
+            t = _care_exact_step(a, b, c)
+            P_next = P + t * H
+        else:
+            P_next = lyapunov(Acl, Q + K.T @ R @ K)
         P_next = 0.5 * (P_next + P_next.T)
         return P_next, jnp.linalg.norm(_care_residual(P_next, A, B, Q, R_inv))
 

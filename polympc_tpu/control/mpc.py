@@ -77,6 +77,7 @@ class MPC:
         self._gl = jnp.full((ocp.ng,), -inf, dtype)
         self._gu = jnp.full((ocp.ng,), inf, dtype)
         self._x0 = None
+        self._x0_relax = None
         self._d = jnp.zeros((ocp.nd,), dtype)
         self._t0 = jnp.asarray(t0, dtype)
         self._tf = jnp.asarray(tf, dtype)
@@ -134,8 +135,18 @@ class MPC:
         self._t0 = jnp.asarray(t0, self.dtype)
         self._tf = jnp.asarray(tf, self.dtype)
 
-    def initial_conditions(self, x0):
+    def initial_conditions(self, x0, relax=None):
+        """Pin the first state node to x0 (mpc_wrapper.hpp:89-99).
+
+        relax: optional (nx,) per-state half-widths — state i's initial
+        condition becomes the box [x0_i - relax_i, x0_i + relax_i] instead
+        of an exact pin.  The reference's NMPF uses this to relax the
+        virtual path states by +-flexibility each control step
+        (nmpf.hpp:456-466) while the physical states stay pinned.
+        """
         self._x0 = jnp.asarray(x0, self.dtype)
+        self._x0_relax = None if relax is None \
+            else jnp.abs(jnp.asarray(relax, self.dtype))
 
     # ---- warm-start guesses (mpc_wrapper.hpp:190-205) ----
     def x_guess(self, X):
@@ -189,8 +200,14 @@ class MPC:
         sp = jnp.asarray(self.tr.p_scale, self.dtype)
         Xl, Xu = self._Xl, self._Xu
         if self._x0 is not None:
-            Xl = Xl.at[0].set(self._x0)
-            Xu = Xu.at[0].set(self._x0)
+            if self._x0_relax is None:
+                Xl = Xl.at[0].set(self._x0)
+                Xu = Xu.at[0].set(self._x0)
+            else:
+                # relaxed IC box (nmpf.hpp:456-466): overwrites the global
+                # state bounds at the initial node, like the reference
+                Xl = Xl.at[0].set(self._x0 - self._x0_relax)
+                Xu = Xu.at[0].set(self._x0 + self._x0_relax)
             # seed the guess's first state node with x0 (scaled internally)
             X, U, P = self._split(self._z)
             self._z = pack_z(X.at[0].set(self._x0 / sx), U, P)

@@ -141,20 +141,32 @@ class NMPF:
         else:
             xa = x.copy()
 
-        # wrap the path parameter into [0, period)
+        # wrap the path parameter into [0, period); the warm-start
+        # trajectory's s column shifts with it so the previous solution
+        # stays consistent (nmpf.hpp:444-454 shifts NLP_X's s entries)
+        shift = 0.0
         if xa[self.nx] >= self.period:
-            xa[self.nx] -= self.period
+            shift = -self.period
         elif xa[self.nx] < 0.0:
-            xa[self.nx] += self.period
+            shift = self.period
+        if shift:
+            xa[self.nx] += shift
+            if self._initialised:
+                X, U, P = self.mpc._split(self.mpc._z)
+                sxs = float(np.asarray(self.mpc.tr.x_scale)[self.nx])
+                X = X.at[:, self.nx].add(shift / sxs)
+                from polympc_tpu.ocp.transcription import pack_z
+                self.mpc._z = pack_z(X, U, P)
 
-        # relax virtual-state pinning by +-flexibility (nmpf.hpp:456-466)
-        self.mpc.initial_conditions(xa)
+        # pin the physical states exactly, box the virtual states (s, s_dot)
+        # by +-flexibility (nmpf.hpp:456-466)
+        relax = np.zeros(self.nx + 2)
+        relax[self.nx:] = self.flex
+        self.mpc.initial_conditions(xa, relax=relax)
         if not self._initialised:
             self.mpc.x_guess(xa)
             self._initialised = True
         sol = self.mpc.solve()
-        # override the pinned-IC equality on the virtual states with a box
-        # of width flexibility is approximated by re-solving only on failure
         u = np.asarray(self.mpc.solution_u())[0]
         self._last = sol
         return u, sol

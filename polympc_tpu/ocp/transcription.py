@@ -104,11 +104,15 @@ class Transcription:
         return self.pack(X, U, P)
 
     def pack(self, X, U, P=None):
-        """Physical (X, U, P) -> scaled decision vector z."""
-        X = jnp.asarray(X) / jnp.asarray(self.x_scale)
-        U = jnp.asarray(U) / jnp.asarray(self.u_scale)
+        """Physical (X, U, P) -> scaled decision vector z (keeps X's dtype:
+        the f64 scale constants must not promote an f32 guess under
+        enable_x64)."""
+        X = jnp.asarray(X)
+        dt = X.dtype
+        X = X / jnp.asarray(self.x_scale, dt)
+        U = jnp.asarray(U, dt) / jnp.asarray(self.u_scale, dt)
         if P is not None and self.ocp.np_:
-            P = jnp.asarray(P) / jnp.asarray(self.p_scale)
+            P = jnp.asarray(P, dt) / jnp.asarray(self.p_scale, dt)
         return pack_z(X, U, P)
 
     def unpack(self, z):
@@ -147,7 +151,11 @@ class Transcription:
                 k2 = f(x + 0.5 * h * k1, u, t + 0.5 * h)
                 k3 = f(x + 0.5 * h * k2, u, t + 0.5 * h)
                 k4 = f(x + h * k3, u, t + h)
-                return x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+                # cast back: user dynamics may promote to f64 (e.g. f64
+                # spline coefficients under enable_x64), which would break
+                # the scan carry when the guess is requested in f32
+                xn = x + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+                return xn.astype(dtype), None
             x, _ = jax.lax.scan(sub, x, jnp.arange(substeps, dtype=dtype))
             return x, x
 

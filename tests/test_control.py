@@ -125,6 +125,72 @@ def test_lqr_cross_term():
     assert np.all(eig.real < 0)
 
 
+# Stiff non-normal CARE fixture (unstable A, eigenvalues spread over
+# [-0.6, 1.3] with strong coupling): far from the solution the plain
+# Kleinman iteration creeps — the first full steps badly overshoot, so at a
+# 12-iteration budget it is still at ~2e-1 relative error — while the exact
+# quartic line search (lqr.hpp:93-142) damps the early steps and reaches
+# ~3e-6 relative in the same budget; both converge to the scipy solution
+# with a full budget.
+CARE_STIFF_A = np.array([
+    [-0.636246, 0.0743, -0.053768, -0.076013, -0.047755, 0.061016,
+     -0.302561, 0.212055],
+    [0.1988, 0.197642, 0.16696, 0.088925, 0.610522, -0.026128,
+     -0.092125, -0.226058],
+    [-0.309679, -0.373342, -0.036491, -0.021204, 0.100289, 0.015343,
+     -0.229661, 0.270055],
+    [0.221824, -0.047894, -0.195875, 0.890022, 0.056392, -0.434438,
+     -0.020394, 0.078611],
+    [-0.269908, 0.056953, -0.436447, 0.400856, 1.340498, -0.075755,
+     0.109036, -0.722977],
+    [-0.346904, -0.088134, -0.32164, 0.214319, 0.599189, 0.380241,
+     -0.251239, 0.070635],
+    [0.483335, -0.366712, 0.074711, 0.54639, -0.495528, -0.384321,
+     -0.416794, -0.156177],
+    [0.24378, 0.072498, -0.532489, 0.154623, -0.173262, 0.382334,
+     -0.188276, -0.081816]])
+CARE_STIFF_B = np.array([
+    [0.541132, 0.762926], [0.448099, -1.685597], [0.538034, -1.034308],
+    [0.235276, -1.423734], [0.446322, -0.806599], [-1.282635, 0.71382],
+    [0.241645, -0.613977], [1.451179, -0.440652]])
+
+
+def test_care_exact_line_search_accelerates_stiff_instance():
+    """The reference's exact quartic line search (lqr.hpp:93-142) on an
+    instance where plain Kleinman with a small iteration budget is still
+    far from the solution."""
+    A, B = CARE_STIFF_A, CARE_STIFF_B
+    Q, R = np.eye(8), 1.445512 * np.eye(2)
+    Aj, Bj, Qj, Rj = map(jnp.asarray, (A, B, Q, R))
+    P_ref = solve_continuous_are(A, B, Q, R)
+    scale = np.max(np.abs(P_ref))
+
+    def relerr(P):
+        return np.max(np.abs(np.asarray(P) - P_ref)) / scale
+
+    e_plain = relerr(care(Aj, Bj, Qj, Rj, num_newton=12))
+    e_ls = relerr(care(Aj, Bj, Qj, Rj, num_newton=12, line_search=True))
+    assert e_plain > 1e-2, e_plain          # plain is still far away...
+    assert e_ls < 1e-4, e_ls                # ...line search is essentially done
+    # both converge to the stabilising scipy solution with a full budget
+    assert relerr(care(Aj, Bj, Qj, Rj, num_newton=25)) < 1e-9
+    e_full = relerr(care(Aj, Bj, Qj, Rj, num_newton=25, line_search=True))
+    assert e_full < 1e-9, e_full
+
+
+def test_care_line_search_matches_plain_on_easy_problem():
+    """On well-conditioned problems the exact line search must not change
+    the answer (t -> 1 near the solution; Kleinman is already quadratic)."""
+    A, B, Q, R = _random_system(6, 2, 11)
+    args = map(jnp.asarray, (A, B, Q, R))
+    A_, B_, Q_, R_ = args
+    P0 = np.asarray(care(A_, B_, Q_, R_))
+    P1 = np.asarray(care(A_, B_, Q_, R_, line_search=True))
+    P_ref = solve_continuous_are(A, B, Q, R)
+    np.testing.assert_allclose(P0, P_ref, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(P1, P_ref, rtol=1e-6, atol=1e-8)
+
+
 def test_care_jittable_and_differentiable():
     A, B, Q, R = _random_system(4, 2, 3)
     f = jax.jit(lambda q_scale: care(jnp.asarray(A), jnp.asarray(B),
