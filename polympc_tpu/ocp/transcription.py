@@ -268,8 +268,10 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         X, U, P = _unscale(z)
         t = _times(prm, z.dtype)
         d = prm["d"]
+        # cast: user dynamics may carry f64 constants (e.g. spline
+        # coefficients) that would promote the whole NLP under enable_x64
         f = jax.vmap(lambda xk, uk, tk: ocp.dynamics(xk, uk, P, d, tk))(
-            X, U, t)
+            X, U, t).astype(z.dtype)
         scale = (prm["tf"] - prm["t0"]) / (2.0 * NS)
         Dg = jnp.asarray(Dg_unit, z.dtype)
         sxj = jnp.asarray(sx, z.dtype)
@@ -301,7 +303,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         if ocp.trajectory_cost is not None:
             total = total + ocp.trajectory_cost(
                 X, U, P, d, t, _spectral_ops(prm, z.dtype))
-        return total
+        return total.astype(z.dtype)
 
     ineq_fn = None
     if ocp.ineq is not None or ocp.trajectory_ineq is not None:
@@ -317,7 +319,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             if ocp.trajectory_ineq is not None:
                 rows.append(ocp.trajectory_ineq(
                     X, U, P, d, t, _spectral_ops(prm, z.dtype)))
-            return jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+            out = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+            return out.astype(z.dtype)
 
     # ---- structured derivatives ----
     # The collocation NLP's derivative structure (continuous_ocp.hpp's sparse
@@ -347,7 +350,8 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
         x = xs * jnp.asarray(sx, dtype)
         u = us * jnp.asarray(su, dtype)
         p = Ps * jnp.asarray(sp, dtype)
-        return ocp.dynamics(x, u, p, d, tk) / jnp.asarray(sx, dtype)
+        return (ocp.dynamics(x, u, p, d, tk)
+                / jnp.asarray(sx, dtype)).astype(dtype)
 
     def eq_jac_fn(z, prm):
         X, U, P, t, d = _node_parts(z, prm)
@@ -391,7 +395,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
                                   jnp.zeros((), dtype))
         if ocp.ineq is not None:
             val = val + mu_k @ ocp.ineq(x, u, p, d, tk)
-        return val
+        return val.astype(dtype)
 
     def lag_hessian_fn(z, lam, prm):
         """Dense Lagrangian Hessian from per-node blocks (vs whole-vector
@@ -453,7 +457,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             if ocp.trajectory_ineq is not None:
                 val = val + mu_t @ ocp.trajectory_ineq(X, U, P, prm["d"],
                                                        t, ops)
-            return val
+            return val.astype(z.dtype)
 
         def lag_hessian_fn(z, lam, prm):   # noqa: F811
             H = _node_lag_hessian(z, lam, prm)
@@ -473,7 +477,7 @@ def transcribe(ocp: OCP, mesh: SegmentedBasis,
             x = xs * jnp.asarray(sx, dtype)
             u = us * jnp.asarray(su, dtype)
             p = Ps * jnp.asarray(sp, dtype)
-            return ocp.ineq(x, u, p, d, tk)
+            return jnp.asarray(ocp.ineq(x, u, p, d, tk), dtype)
 
         def ineq_jac_fn(z, prm):
             X, U, P, t, d = _node_parts(z, prm)

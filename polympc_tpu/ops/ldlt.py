@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ldlt_factor", "ldlt_solve", "ldlt_factor_solve"]
+__all__ = ["ldlt_factor", "ldlt_solve", "ldlt_factor_solve", "ldlt_inverse"]
 
 LANES = 128
 
@@ -179,6 +179,11 @@ def _solve_body(f_ref, d_ref, b_ref, x_ref):
     x_ref[...] = _solve_sweeps(f_ref, d_ref, b_ref[...])
 
 
+def _factor_inverse_body(m_ref, inv_ref, f_ref, d_ref):
+    _factor_body(m_ref, f_ref, d_ref)
+    _inverse_sweeps(f_ref, d_ref, inv_ref)
+
+
 def _factor_solve_body(m_ref, b_ref, x_ref, f_ref, d_ref):
     _factor_body(m_ref, f_ref, d_ref)
     x_ref[...] = _solve_sweeps(f_ref, d_ref, b_ref[...])
@@ -256,6 +261,31 @@ def ldlt_factor_solve_lanes(M, b, *, interpret=False):
     return x, F, d
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ldlt_inverse_lanes(M, *, interpret=False):
+    """(K, K, B) -> explicit inverse (K, K, B) via LDL^T factor + block-RHS
+    sweeps (one kernel; the factor never leaves VMEM).  For callers that
+    apply K^{-1} many times per factorisation (the distributed Schur
+    elimination reuses one factor across a whole ADMM epoch), the inverse
+    turns every later solve into a batched matvec on the MXU."""
+    K, _, B = M.shape
+    lanes = LANES
+    inv, _, _ = pl.pallas_call(
+        _factor_inverse_body,
+        grid=(B // lanes,),
+        in_specs=[_spec_mat(K, lanes)],
+        out_specs=(_spec_mat(K, lanes), _spec_mat(K, lanes),
+                   _spec_vec(K, lanes)),
+        out_shape=(jax.ShapeDtypeStruct((K, K, B), M.dtype),
+                   jax.ShapeDtypeStruct((K, K, B), M.dtype),
+                   jax.ShapeDtypeStruct((K, B), M.dtype)),
+        input_output_aliases={0: 1},
+        compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
+    )(M)
+    return inv
+
+
 # ---------------------------------------------------------------------------
 # batch-major public API: (B, K, K) / (B, K), arbitrary B and K
 # ---------------------------------------------------------------------------
@@ -309,6 +339,17 @@ def ldlt_solve(F, d, b, *, interpret=None):
     bl = _pad_vec(b, Kp, Bp)
     x = ldlt_solve_lanes(Fl, dl, bl, interpret=interpret)
     return jnp.moveaxis(x, -1, 0)[:B, :K]
+
+
+def ldlt_inverse(M, *, interpret=None):
+    """Batched explicit inverse of symmetric quasi-definite (B, K, K)
+    matrices via unpivoted LDL^T (factor + block-RHS sweeps in one Pallas
+    kernel).  Returns (B, K, K)."""
+    if interpret is None:
+        interpret = _auto_interpret()
+    B, K = M.shape[0], M.shape[1]
+    inv = ldlt_inverse_lanes(_pad_lanes(M), interpret=interpret)
+    return jnp.moveaxis(inv, -1, 0)[:B, :K, :K]
 
 
 def ldlt_factor_solve(M, b, *, interpret=None):

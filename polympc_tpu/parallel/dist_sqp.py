@@ -43,7 +43,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from polympc_tpu.basis.basis import Basis
 from polympc_tpu.ocp.ocp import OCP
-from polympc_tpu.parallel.horizon import schur_horizon_solve
+from polympc_tpu.parallel.horizon import (
+    schur_horizon_solve, schur_horizon_factor, schur_horizon_apply)
 from polympc_tpu.utils import status as st
 
 __all__ = ["DistTranscription", "DistBounds", "DistSQPSettings",
@@ -67,7 +68,10 @@ class DistSQPSettings:
     merit_mu_safety: float = 1e2
     merit_mu_max: float = 1e6
     reg_eps: float = 1e-8
-    # inner ADMM
+    # inner ADMM: admm_iters is the total-iteration cap, organised as
+    # epochs of check_every iterations — one Schur factorisation per epoch,
+    # residual checks / adaptive rho / infeasibility certificates between
+    # epochs (full parity with the fused qp/box_admm.py solver)
     rho: float = 0.1
     rho_eq_scale: float = 1e3
     rho_min: float = 1e-6
@@ -75,13 +79,36 @@ class DistSQPSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     admm_iters: int = 200
+    check_every: int = 25
+    # inner tolerances sized for the outer eps_dual/eps_stat tests: 1e-4/
+    # 1e-5 leave the QP duals too loose for the SQP's relative dual-step
+    # test to settle (measured on the kite S=8 parity problem: 1e-5 stalls
+    # at ds ~ 3e-2, 1e-6 converges in 35 iterations with ~5% fewer total
+    # inner iterations than the round-3 fixed-length loop)
+    eps_abs: float = 1e-6
+    eps_rel: float = 1e-6
+    # Adaptive rho reaches exact parity with the fused solver on standalone
+    # QPs (tests/test_dist_sqp.py:test_dist_admm_matches_fused_qp), but is
+    # OFF by default inside the SQP: early SQP linearisations can be
+    # certified-infeasible, and scaling rho up on such a QP amplifies the
+    # divergent dual ray that the certificate detects — those inflated
+    # duals then poison the l1-merit weight and the next QP's dual warm
+    # start.  (The fused SQP path survives the same hazard only because its
+    # active-set polish replaces the returned duals.)
+    adaptive_rho: bool = False
+    eps_inf: float = 1e-5
+    # "pallas": per-segment Schur elimination via the lane-batched LDL^T
+    # kernel (ops/ldlt.py); "lu": XLA pivoted LU
+    kkt_solver: str = "lu"
     loose_bound: float = 1e10
     eq_tol: float = 1e-4
 
     def validate(self) -> bool:
         return (self.max_iter > 0 and self.ls_max_iter > 0
                 and 0 < self.tau < 1 and self.rho > 0 and self.sigma > 0
-                and 0 < self.alpha < 2 and self.admm_iters > 0)
+                and 0 < self.alpha < 2 and self.admm_iters > 0
+                and self.check_every > 0
+                and self.kkt_solver in ("lu", "pallas"))
 
 
 class DistBounds(NamedTuple):
@@ -354,14 +381,17 @@ def _dist_admm(dtr: DistTranscription, Hs, HsP, HPP, gW, gP,
                y_loc0, y_if0, ybW0, ybP0,
                settings: DistSQPSettings, mesh, axis):
     """Inner boxADMM on the segment-partitioned QP (the distributed
-    box_admm.hpp:88-205): fixed ``admm_iters`` iterations, KKT solved by
-    Schur condensation each iteration.
+    box_admm.hpp:88-205), at full parity with the fused solver
+    (qp/box_admm.py): epochs of ``check_every`` iterations on one Schur
+    factorisation, residual-based termination, adaptive rho
+    (box_admm.hpp:433-445) with per-epoch refactorisation, and OSQP §3.4
+    infeasibility certificates on the epoch increments.
 
     QP: min 1/2 [dW;dP]' H [dW;dP] + g'[dW;dP]
         s.t. A_s dw_s + AP_s dP in [al_s, au_s]       (local rows, (S, ml))
              E dw_s + F dw_{s+1} = -r_if_s            (interface rows)
              lw <= dw <= uw,  lp <= dP <= up          (box)
-    Returns (dW, dP, y_loc, y_if, ybW, ybP).
+    Returns (dW, dP, y_loc, y_if, ybW, ybP, iters, status, rp, rd).
     """
     S, kz, ml = dtr.S, dtr.kz, dtr.ml
     p_if = dtr.p_if
@@ -380,94 +410,283 @@ def _dist_admm(dtr: DistTranscription, Hs, HsP, HPP, gW, gP,
     # eq_tol) get rho*rho_eq_scale, loose rows rho_min, everything clipped
     # into [rho_min, rho_max].  Defect rows (incl the masked dummy rows) and
     # interface rows are equalities.
-    rho_base = jnp.asarray(settings.rho, dt)
-    rho_eq = jnp.clip(rho_base * settings.rho_eq_scale,
-                      settings.rho_min, settings.rho_max)
     eq_row = (au - al) < settings.eq_tol                  # (S, ml)
     loose = (al < -settings.loose_bound) & (au > settings.loose_bound)
-    rho_loc = jnp.clip(
-        jnp.where(eq_row, rho_eq,
-                  jnp.where(loose, settings.rho_min, rho_base)),
-        settings.rho_min, settings.rho_max)
-    rho_if = jnp.full((p_if,), rho_eq, dt)
-    # box rho: loose boxes get rho_min
-    def box_rho(lo, hi):
-        lo_ = (lo < -settings.loose_bound) & (hi > settings.loose_bound)
-        eq_ = (hi - lo) < settings.eq_tol
-        r = jnp.where(eq_, rho_eq, jnp.where(lo_, settings.rho_min, rho_base))
-        return jnp.clip(r, settings.rho_min, settings.rho_max)
-    rbW = box_rho(lw, uw)                                 # (S, kz)
-    rbP = box_rho(lp, up)                                 # (np,)
+    boxW_loose = (lw < -settings.loose_bound) & (uw > settings.loose_bound)
+    boxW_eq = (uw - lw) < settings.eq_tol
+    boxP_loose = (lp < -settings.loose_bound) & (up > settings.loose_bound)
+    boxP_eq = (up - lp) < settings.eq_tol
 
-    # per-epoch constants
-    eyek = jnp.eye(kz, dtype=dt)
-    K = jnp.concatenate([
-        jnp.concatenate([Hs + sigma * eyek[None]
-                         + jax.vmap(jnp.diag)(rbW),
-                         jnp.swapaxes(A, 1, 2)], axis=2),
-        jnp.concatenate([A, -jax.vmap(jnp.diag)(1.0 / rho_loc)], axis=2),
-    ], axis=1)                                            # (S, k, k)
-    G = jnp.tile((-jnp.diag(1.0 / rho_if))[None], (S - 1, 1, 1))
-    if np_:
-        C = jnp.concatenate([HsP, AP], axis=1)            # (S, k, np_)
-        Dg = HPP + sigma * jnp.eye(np_, dtype=dt) + jnp.diag(rbP)
-    else:
-        C = Dg = None
+    def make_rhos(rho_base):
+        """Per-constraint penalties from the adapted base rho, matching the
+        fused classify_constraints/rho_vector (box_admm.hpp:357-396)."""
+        rho_eq = jnp.clip(rho_base * settings.rho_eq_scale,
+                          settings.rho_min, settings.rho_max)
+        rho_loc = jnp.clip(
+            jnp.where(eq_row, rho_eq,
+                      jnp.where(loose, settings.rho_min, rho_base)),
+            settings.rho_min, settings.rho_max)
+        rho_if = jnp.full((p_if,), rho_eq, dt)
+        rbW = jnp.clip(
+            jnp.where(boxW_eq, rho_eq,
+                      jnp.where(boxW_loose, settings.rho_min, rho_base)),
+            settings.rho_min, settings.rho_max)
+        rbP = jnp.clip(
+            jnp.where(boxP_eq, rho_eq,
+                      jnp.where(boxP_loose, settings.rho_min, rho_base)),
+            settings.rho_min, settings.rho_max)
+        return rho_loc, rho_if, rbW, rbP
 
     c_if_target = -r_if                                   # (S-1, p_if)
+    eyek = jnp.eye(kz, dtype=dt)
+    pad1 = jnp.zeros((1, p_if), dt)
+    Ew, Fw = jnp.asarray(Epk, dt), jnp.asarray(Fpk, dt)
+    inf_norm = lambda v: jnp.max(jnp.abs(v), initial=0.0)
 
-    def iteration(_, state):
-        xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP = state
-        rhs_w = sigma * xW + rbW * q_W - ybW - gW         # (S, kz)
-        rhs_l = z_loc - y_loc / rho_loc                   # (S, ml)
-        b = jnp.concatenate([rhs_w, rhs_l], axis=1)       # (S, k)
-        c_if = z_if - y_if / rho_if[None]                 # (S-1, p_if)
+    def _Hx(xW, xP):
+        hW = jnp.einsum("skj,sj->sk", Hs, xW)
         if np_:
-            bg = sigma * xP + rbP * q_P - ybP - gP
-            w, nu_if, g_sol = schur_horizon_solve(
-                K, b, E, F, c_if, mesh=mesh, axis=axis, G=G,
-                C=C, Dg=Dg, bg=bg)
+            hW = hW + jnp.einsum("ska,a->sk", HsP, xP)
+            hP = jnp.einsum("ska,sk->a", HsP, xW) + HPP @ xP
         else:
-            w, nu_if = schur_horizon_solve(K, b, E, F, c_if, mesh=mesh,
-                                           axis=axis, G=G)
-            g_sol = xP
-        xW_t = w[:, :kz]
-        nu_loc = w[:, kz:]
+            hP = xP
+        return hW, hP
 
-        # primal updates (over-relaxed)
-        xW2 = alpha * xW_t + (1 - alpha) * xW
-        xP2 = alpha * g_sol + (1 - alpha) * xP if np_ else xP
-        # box split q/yb (W then P)
-        qW_u = alpha * xW_t + (1 - alpha) * q_W
-        qW2 = jnp.clip(qW_u + ybW / rbW, lw, uw)
-        ybW2 = ybW + rbW * (qW_u - qW2)
+    def _Ax(xW, xP):
+        ax = jnp.einsum("smk,sk->sm", A, xW)
         if np_:
-            qP_u = alpha * g_sol + (1 - alpha) * q_P
-            qP2 = jnp.clip(qP_u + ybP / rbP, lp, up)
-            ybP2 = ybP + rbP * (qP_u - qP2)
+            ax = ax + jnp.einsum("sma,a->sm", AP, xP)
+        return ax
+
+    def _if_of(xW):
+        return (jnp.einsum("pk,sk->sp", Ew, xW[:-1])
+                + jnp.einsum("pk,sk->sp", Fw, xW[1:]))
+
+    def _ATy(y_loc, y_if, ybW, ybP):
+        aty = jnp.einsum("smk,sm->sk", A, y_loc)
+        aty = aty + jnp.einsum("pk,sp->sk", Ew,
+                               jnp.concatenate([y_if, pad1], axis=0)) \
+            + jnp.einsum("pk,sp->sk", Fw,
+                         jnp.concatenate([pad1, y_if], axis=0)) + ybW
+        atyP = (jnp.einsum("sma,sm->a", AP, y_loc) + ybP) if np_ else ybP
+        return aty, atyP
+
+    def _residuals_dist(xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW,
+                        ybP):
+        """OSQP primal/dual residuals of the partitioned QP (the
+        distributed qp/box_admm.py:_residuals)."""
+        Ax = _Ax(xW, xP)
+        ifx = _if_of(xW)
+        r_prim = jnp.maximum(
+            jnp.maximum(inf_norm(Ax - z_loc), inf_norm(ifx - z_if)),
+            jnp.maximum(inf_norm(xW - q_W), inf_norm(xP - q_P)))
+        hW, hP = _Hx(xW, xP)
+        atyW, atyP = _ATy(y_loc, y_if, ybW, ybP)
+        r_dual = jnp.maximum(inf_norm(hW + gW + atyW),
+                             inf_norm(hP + gP + atyP) if np_
+                             else jnp.zeros((), dt))
+        prim_scale = jnp.maximum(
+            jnp.maximum(inf_norm(Ax), jnp.maximum(inf_norm(z_loc),
+                                                  inf_norm(ifx))),
+            jnp.maximum(jnp.maximum(inf_norm(xW), inf_norm(q_W)),
+                        jnp.maximum(inf_norm(xP), inf_norm(q_P))))
+        dual_scale = jnp.maximum(
+            jnp.maximum(inf_norm(hW) if not np_ else
+                        jnp.maximum(inf_norm(hW), inf_norm(hP)),
+                        jnp.maximum(inf_norm(atyW), inf_norm(atyP))),
+            jnp.maximum(jnp.maximum(inf_norm(gW), inf_norm(gP)),
+                        jnp.maximum(inf_norm(ybW), inf_norm(ybP))))
+        return r_prim, r_dual, prim_scale, dual_scale
+
+    def _supp(b, v):
+        return jnp.sum(jnp.where(v == 0.0, 0.0, b * v)) if b.size else \
+            jnp.zeros((), dt)
+
+    def _certificates(dxW, dxP, dy_loc, dy_if, dybW, dybP):
+        """OSQP §3.4 infeasibility tests on the epoch increments — the
+        distributed analogue of qp/box_admm.py:_infeasibility_certificates
+        (interface rows are equalities with value c_if_target)."""
+        nrm_y = jnp.maximum(
+            jnp.maximum(inf_norm(dy_loc), inf_norm(dy_if)),
+            jnp.maximum(inf_norm(dybW), inf_norm(dybP)))
+        atyW, atyP = _ATy(dy_loc, dy_if, dybW, dybP)
+        at_nrm = jnp.maximum(inf_norm(atyW),
+                             inf_norm(atyP) if np_ else jnp.zeros((), dt))
+        supp = (_supp(au, jnp.maximum(dy_loc, 0.0))
+                + _supp(al, jnp.minimum(dy_loc, 0.0))
+                + _supp(c_if_target, dy_if)
+                + _supp(uw, jnp.maximum(dybW, 0.0))
+                + _supp(lw, jnp.minimum(dybW, 0.0))
+                + _supp(up, jnp.maximum(dybP, 0.0))
+                + _supp(lp, jnp.minimum(dybP, 0.0)))
+        eps_inf = settings.eps_inf
+        prim_inf = (nrm_y > 0.0) & (at_nrm <= eps_inf * nrm_y) \
+            & (supp <= -eps_inf * nrm_y)
+
+        nrm_x = jnp.maximum(inf_norm(dxW), inf_norm(dxP))
+        tol = eps_inf * nrm_x
+        hW, hP = _Hx(dxW, dxP)
+        h_nrm = jnp.maximum(inf_norm(hW),
+                            inf_norm(hP) if np_ else jnp.zeros((), dt))
+        gdx = jnp.sum(gW * dxW) + (gP @ dxP if np_ else 0.0)
+        Adx = _Ax(dxW, dxP)
+        ifdx = _if_of(dxW)
+
+        def cone_ok(v, lo, up_):
+            up_ok = jnp.where(jnp.isfinite(up_), v <= tol, True)
+            lo_ok = jnp.where(jnp.isfinite(lo), v >= -tol, True)
+            return jnp.all(up_ok & lo_ok) if v.size else jnp.asarray(True)
+
+        dual_inf = (nrm_x > 0.0) & (h_nrm <= tol) & (gdx <= -tol) \
+            & cone_ok(Adx, al, au) \
+            & (inf_norm(ifdx) <= tol) \
+            & cone_ok(dxW, lw, uw) & cone_ok(dxP, lp, up)
+        return prim_inf, dual_inf
+
+    check_every = settings.check_every
+    max_epochs = max(1, settings.admm_iters // check_every)
+
+    def epoch_body(carry):
+        (xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP,
+         rho_base, epoch, done, rp, rd, div, pinf, dinf) = carry
+        rho_loc, rho_if, rbW, rbP = make_rhos(rho_base)
+        # KKT blocks + one Schur factorisation per epoch (fused analogue:
+        # box_admm.py epoch_body's _build_kkt + factor); the per-segment
+        # elimination goes through the Pallas LDL^T when
+        # settings.kkt_solver == "pallas"
+        K = jnp.concatenate([
+            jnp.concatenate([Hs + sigma * eyek[None]
+                             + jax.vmap(jnp.diag)(rbW),
+                             jnp.swapaxes(A, 1, 2)], axis=2),
+            jnp.concatenate([A, -jax.vmap(jnp.diag)(1.0 / rho_loc)],
+                            axis=2),
+        ], axis=1)                                        # (S, k, k)
+        G = jnp.tile((-jnp.diag(1.0 / rho_if))[None], (S - 1, 1, 1))
+        if np_:
+            C = jnp.concatenate([HsP, AP], axis=1)        # (S, k, np_)
+            Dg = HPP + sigma * jnp.eye(np_, dtype=dt) + jnp.diag(rbP)
         else:
-            qP2, ybP2 = q_P, ybP
-        # local constraint split
-        zl_t = z_loc + (nu_loc - y_loc) / rho_loc
-        zl_u = alpha * zl_t + (1 - alpha) * z_loc
-        zl2 = jnp.clip(zl_u + y_loc / rho_loc, al, au)
-        yl2 = y_loc + rho_loc * (zl_u - zl2)
-        # interface split (pure equality rows)
-        zi_t = z_if + (nu_if - y_if) / rho_if[None]
-        zi_u = alpha * zi_t + (1 - alpha) * z_if
-        zi2 = jnp.clip(zi_u + y_if / rho_if[None], c_if_target, c_if_target)
-        yi2 = y_if + rho_if[None] * (zi_u - zi2)
-        return (xW2, xP2, zl2, zi2, qW2, qP2, yl2, yi2, ybW2, ybP2)
+            C = Dg = None
+        fac = schur_horizon_factor(K, E, F, mesh=mesh, axis=axis, G=G,
+                                   C=C, Dg=Dg,
+                                   kkt_solver=settings.kkt_solver)
+
+        def iteration(_, state):
+            xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP = state
+            rhs_w = sigma * xW + rbW * q_W - ybW - gW     # (S, kz)
+            rhs_l = z_loc - y_loc / rho_loc               # (S, ml)
+            b = jnp.concatenate([rhs_w, rhs_l], axis=1)   # (S, k)
+            c_if = z_if - y_if / rho_if[None]             # (S-1, p_if)
+            if np_:
+                bg = sigma * xP + rbP * q_P - ybP - gP
+                w, nu_if, g_sol = schur_horizon_apply(fac, b, c_if, bg=bg)
+            else:
+                w, nu_if = schur_horizon_apply(fac, b, c_if)
+                g_sol = xP
+            xW_t = w[:, :kz]
+            nu_loc = w[:, kz:]
+
+            # primal updates (over-relaxed)
+            xW2 = alpha * xW_t + (1 - alpha) * xW
+            xP2 = alpha * g_sol + (1 - alpha) * xP if np_ else xP
+            # box split q/yb (W then P)
+            qW_u = alpha * xW_t + (1 - alpha) * q_W
+            qW2 = jnp.clip(qW_u + ybW / rbW, lw, uw)
+            ybW2 = ybW + rbW * (qW_u - qW2)
+            if np_:
+                qP_u = alpha * g_sol + (1 - alpha) * q_P
+                qP2 = jnp.clip(qP_u + ybP / rbP, lp, up)
+                ybP2 = ybP + rbP * (qP_u - qP2)
+            else:
+                qP2, ybP2 = q_P, ybP
+            # local constraint split
+            zl_t = z_loc + (nu_loc - y_loc) / rho_loc
+            zl_u = alpha * zl_t + (1 - alpha) * z_loc
+            zl2 = jnp.clip(zl_u + y_loc / rho_loc, al, au)
+            yl2 = y_loc + rho_loc * (zl_u - zl2)
+            # interface split (pure equality rows)
+            zi_t = z_if + (nu_if - y_if) / rho_if[None]
+            zi_u = alpha * zi_t + (1 - alpha) * z_if
+            zi2 = jnp.clip(zi_u + y_if / rho_if[None], c_if_target,
+                           c_if_target)
+            yi2 = y_if + rho_if[None] * (zi_u - zi2)
+            return (xW2, xP2, zl2, zi2, qW2, qP2, yl2, yi2, ybW2, ybP2)
+
+        state0 = (xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP)
+        out = jax.lax.fori_loop(0, check_every, iteration, state0)
+        (xW2, xP2, zl2, zi2, qW2, qP2, yl2, yi2, ybW2, ybP2) = out
+
+        # divergence guard (fused analogue box_admm.py:324-331)
+        finite = (jnp.all(jnp.isfinite(xW2)) & jnp.all(jnp.isfinite(yl2))
+                  & jnp.all(jnp.isfinite(yi2)) & jnp.all(jnp.isfinite(ybW2))
+                  & jnp.all(jnp.isfinite(xP2)) & jnp.all(jnp.isfinite(ybP2)))
+        keepf = lambda nw, o: jnp.where(finite, nw, o)
+        xW2, xP2 = keepf(xW2, xW), keepf(xP2, xP)
+        zl2, zi2 = keepf(zl2, z_loc), keepf(zi2, z_if)
+        qW2, qP2 = keepf(qW2, q_W), keepf(qP2, q_P)
+        yl2, yi2 = keepf(yl2, y_loc), keepf(yi2, y_if)
+        ybW2, ybP2 = keepf(ybW2, ybW), keepf(ybP2, ybP)
+
+        rp2, rd2, ps, ds = _residuals_dist(xW2, xP2, zl2, zi2, qW2, qP2,
+                                           yl2, yi2, ybW2, ybP2)
+        eps_p = settings.eps_abs + settings.eps_rel * ps
+        eps_d = settings.eps_abs + settings.eps_rel * ds
+        conv = (rp2 <= eps_p) & (rd2 <= eps_d)
+        div2 = div | ~finite
+
+        pinf_new, dinf_new = _certificates(
+            xW2 - xW, xP2 - xP, yl2 - y_loc, yi2 - y_if,
+            ybW2 - ybW, ybP2 - ybP)
+        pinf2 = pinf | (pinf_new & finite & ~conv)
+        dinf2 = dinf | (dinf_new & finite & ~conv)
+
+        if settings.adaptive_rho:
+            # rho <- rho * sqrt(relative primal/dual residual ratio)
+            # (box_admm.hpp:433-445; OSQP eq. 28)
+            num = rp2 / jnp.maximum(ps, 1e-12)
+            den = rd2 / jnp.maximum(ds, 1e-12)
+            scale = jnp.clip(jnp.sqrt(num / jnp.maximum(den, 1e-12)),
+                             1e-3, 1e3)
+            rho_next = jnp.clip(rho_base * scale, settings.rho_min,
+                                settings.rho_max)
+        else:
+            rho_next = rho_base
+
+        keep = done
+        old = (xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP,
+               rho_base, epoch, done, rp, rd, div, pinf, dinf)
+        new = (xW2, xP2, zl2, zi2, qW2, qP2, yl2, yi2, ybW2, ybP2,
+               rho_next, epoch + 1, conv | div2 | pinf2 | dinf2,
+               rp2, rd2, div2, pinf2, dinf2)
+        return tuple(jnp.where(keep, o, nw) for o, nw in zip(old, new))
+
+    def epoch_cond(carry):
+        epoch, done = carry[11], carry[12]
+        return (~done) & (epoch < max_epochs)
 
     xW0 = jnp.zeros((S, kz), dt)
     xP0 = jnp.zeros((np_,), dt)
     z_loc0 = jnp.zeros((S, ml), dt)
     z_if0 = jnp.zeros((S - 1, p_if), dt)
     init = (xW0, xP0, z_loc0, z_if0, xW0, xP0,
-            y_loc0, y_if0, ybW0, ybP0)
-    out = jax.lax.fori_loop(0, settings.admm_iters, iteration, init)
-    xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP = out
-    return xW, xP, y_loc, y_if, ybW, ybP
+            y_loc0, y_if0, ybW0, ybP0,
+            jnp.asarray(settings.rho, dt), jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool), jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt), jnp.zeros((), bool),
+            jnp.zeros((), bool), jnp.zeros((), bool))
+    (xW, xP, z_loc, z_if, q_W, q_P, y_loc, y_if, ybW, ybP,
+     rho_base, epochs, done, rp, rd, div, pinf, dinf) = jax.lax.while_loop(
+        epoch_cond, epoch_body, init)
+
+    status = jnp.where(
+        div, st.UNSOLVED,
+        jnp.where(pinf, st.INFEASIBLE,
+                  jnp.where(dinf, st.INCONSISTENT,
+                            jnp.where(done, st.SOLVED,
+                                      st.MAX_ITER_EXCEEDED)))).astype(
+        jnp.int32)
+    iters = (epochs * check_every).astype(jnp.int32)
+    return xW, xP, y_loc, y_if, ybW, ybP, iters, status, rp, rd
 
 
 def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
@@ -548,7 +767,7 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
 
     def body(carry):
         (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, it, done,
-         ps, ds, vi) = carry
+         ps, ds, vi, qp_iters_acc, qp_status) = carry
 
         g, c, J, Hn = seg_derivs(W, Pv, lam_loc)
         gW = g[:, :kz]                                     # (S, kz)
@@ -573,7 +792,8 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
 
         # QP row/box bounds shifted by the current iterate
         # (ref: sqp_base.hpp:586-593)
-        dW, dP, yl_qp, yi_qp, ybw_qp, ybp_qp = _dist_admm(
+        (dW, dP, yl_qp, yi_qp, ybw_qp, ybp_qp, qp_it, qp_st,
+         _qp_rp, _qp_rd) = _dist_admm(
             dtr, Hs, HsP, HPP2, gW, gP, A, AP,
             cl[None] - c, cu[None] - c, lbw - W, ubw - W,
             lbp - Pv, ubp - Pv, r_if,
@@ -660,8 +880,9 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
             & (stat <= settings.eps_stat * lam_scale)
 
         new = (W2, Pv2, lam_loc2, lam_if2, lam_bw2, lam_bp2, it + 1, conv,
-               ps2, ds2, vi2)
-        old = (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, it, done, ps, ds, vi)
+               ps2, ds2, vi2, qp_iters_acc + qp_it, qp_st)
+        old = (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, it, done, ps, ds, vi,
+               qp_iters_acc, qp_status)
         return jax.tree_util.tree_map(
             lambda o, nw: jnp.where(done, o, nw), old, new)
 
@@ -679,15 +900,17 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
     init = (W0, Pv0, lam_loc0, lam_if0, lam_bw0, lam_bp0,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
-            jnp.asarray(jnp.inf, dt))
+            jnp.asarray(jnp.inf, dt), jnp.zeros((), jnp.int32),
+            jnp.asarray(st.UNINITIALIZED, jnp.int32))
     (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, iters, done,
-     ps, ds, vi) = jax.lax.while_loop(cond, body, init)
+     ps, ds, vi, qp_iters, qp_status) = jax.lax.while_loop(cond, body, init)
 
     status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
     return {"W": W, "P": Pv, "lam_loc": lam_loc, "lam_if": lam_if,
             "lam_bw": lam_bw, "lam_bp": lam_bp, "status": status,
             "iters": iters, "cost": total_cost(W, Pv),
-            "primal_step": ps, "dual_step": ds, "violation": vi}
+            "primal_step": ps, "dual_step": ds, "violation": vi,
+            "qp_iters": qp_iters, "qp_status": qp_status}
 
 
 # ---------------------------------------------------------------------------

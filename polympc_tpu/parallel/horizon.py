@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["schur_horizon_solve", "horizon_mesh", "assemble_dense_horizon"]
+__all__ = ["schur_horizon_solve", "schur_horizon_factor",
+           "schur_horizon_apply", "horizon_mesh", "assemble_dense_horizon"]
 
 
 def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
@@ -50,22 +51,41 @@ def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
        sum_s C_s' w_s + Dg g = bg.
     Returns (mu (S-1, p), g (a,)).
     """
-    XE, XF, w0 = Sloc["XE"], Sloc["XF"], Sloc["w0"]
+    p = jnp.asarray(E).shape[0]
+    a = 0 if Dg is None else Dg.shape[0]
+    if SX - 1 == 0 and a == 0:
+        return (jnp.zeros((0, p), Sloc["XE"].dtype),
+                jnp.zeros((0,), Sloc["XE"].dtype))
+    M = _interface_matrix(Sloc, E, F, SX, G=G, Dg=Dg)
+    r = _interface_rhs(Sloc, E, F, SX, bg=bg)
+    return _interface_split(jnp.linalg.solve(M, r), SX, p, a,
+                            Sloc["XE"].dtype)
+
+
+def _interface_split(sol, SX, p, a, dtype):
+    nI = SX - 1
+    mu = sol[:nI * p].reshape(nI, p) if nI else jnp.zeros((0, p), dtype)
+    g = sol[nI * p:] if a else jnp.zeros((0,), dtype)
+    return mu, g
+
+
+def _interface_matrix(Sloc, E, F, SX, G=None, Dg=None):
+    """The (replicated, b-independent) dense interface matrix from the
+    condensed per-segment blocks — separated from the rhs so factorising
+    callers (schur_horizon_factor) can invert it once and reuse it across
+    many right-hand sides (ADMM iterations)."""
+    XE, XF = Sloc["XE"], Sloc["XF"]
     E = jnp.asarray(E)
     F = jnp.asarray(F)
     p = E.shape[0]
     nI = SX - 1
     a = 0 if Dg is None else Dg.shape[0]
     if nI == 0:
-        # single segment: no interfaces to condense — only the (optional)
-        # global border remains: (Dg - C' XC) g = bg - C' w0
-        mu0 = jnp.zeros((0, p), XE.dtype)
+        # single segment: only the (optional) global border remains
         if a:
             XC, C = Sloc["XC"], Sloc["C"]
-            Mgg = Dg - jnp.einsum("ska,skb->ab", C, XC)
-            g = jnp.linalg.solve(Mgg, bg - jnp.einsum("ska,sk->a", C, w0))
-            return mu0, g
-        return mu0, jnp.zeros((0,), XE.dtype)
+            return Dg - jnp.einsum("ska,skb->ab", C, XC)
+        return jnp.zeros((0, 0), XE.dtype)
     # diag_i   = E XE_i + F XF_{i+1}
     # lower_i  = E XF_i            (couples mu_{i-1})
     # upper_i  = F XE_{i+1}        (couples mu_{i+1})
@@ -75,8 +95,6 @@ def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
         diag = diag - G
     lower = jnp.einsum("pk,ikq->ipq", E, XF[:-1])
     upper = jnp.einsum("pk,ikq->ipq", F, XE[1:])
-    rhs = (Sloc["c"] - jnp.einsum("pk,ik->ip", E, w0[:-1])
-           - jnp.einsum("pk,ik->ip", F, w0[1:]))
     # assemble the (small, replicated) dense interface matrix; a Thomas-scan
     # variant is unnecessary at p*(S-1) ~ tens of unknowns
     # seed the accumulator from the (possibly device-varying) data so the
@@ -112,14 +130,26 @@ def _interface_system(Sloc, E, F, SX, G=None, Dg=None, bg=None):
             M, jnp.moveaxis(rows_mu, 1, 0).reshape(a, nI * p), (nI * p, 0))
         Mgg = Dg - jnp.einsum("ska,skb->ab", C, XC)
         M = jax.lax.dynamic_update_slice(M, Mgg, (nI * p, nI * p))
-        rhs_g = bg - jnp.einsum("ska,sk->a", C, w0)
-        r = jnp.concatenate([rhs.reshape(-1), rhs_g])
-    else:
-        r = rhs.reshape(-1)
-    sol = jnp.linalg.solve(M, r)
-    mu = sol[:nI * p].reshape(nI, p)
-    g = sol[nI * p:] if a else jnp.zeros((0,), XE.dtype)
-    return mu, g
+    return M
+
+
+def _interface_rhs(Sloc, E, F, SX, bg=None):
+    """Interface right-hand side (depends on w0 = K^{-1} b and c)."""
+    w0 = Sloc["w0"]
+    E = jnp.asarray(E)
+    F = jnp.asarray(F)
+    nI = SX - 1
+    a = "C" in Sloc and bg is not None
+    parts = []
+    if nI:
+        rhs = (Sloc["c"] - jnp.einsum("pk,ik->ip", E, w0[:-1])
+               - jnp.einsum("pk,ik->ip", F, w0[1:]))
+        parts.append(rhs.reshape(-1))
+    if a:
+        parts.append(bg - jnp.einsum("ska,sk->a", Sloc["C"], w0))
+    if not parts:
+        return jnp.zeros((0,), w0.dtype)
+    return jnp.concatenate(parts)
 
 
 def _condense_local(K, b, E, F, C=None):
@@ -220,6 +250,145 @@ def schur_horizon_solve(K, b, E, F, c, mesh: Mesh | None = None,
         check_vma=False,
     )(K, b, jnp.concatenate([c, jnp.zeros((1, p), c.dtype)], axis=0),
       C if a else jnp.zeros((S, k, 0), K.dtype))
+    return (w, mu, g) if a else (w, mu)
+
+
+def schur_horizon_factor(K, E, F, mesh: Mesh | None = None, axis: str = "seg",
+                         G=None, C=None, Dg=None, kkt_solver: str = "lu"):
+    """Precompute everything b-independent of :func:`schur_horizon_solve`:
+    per-segment K^{-1} (explicit inverse), the condensed interface blocks
+    XE = K^{-1}E', XF = K^{-1}F' (and XC = K^{-1}C), and the inverse of the
+    replicated interface matrix.
+
+    Callers that solve the same segment-coupled KKT against many right-hand
+    sides (each distributed-ADMM epoch runs ``check_every`` iterations on
+    one factorisation, mirroring the fused epoch structure of
+    qp/box_admm.py) factor once and then every
+    :func:`schur_horizon_apply` is pure batched matvecs on the MXU.
+
+    kkt_solver="pallas" computes the per-segment inverses with the
+    lane-batched LDL^T kernel (ops/ldlt.py:ldlt_inverse — the quasi-definite
+    KKT licenses unpivoted LDL^T, box_admm.hpp:336-349); "lu" uses XLA's
+    pivoted LU.  Returns an opaque dict for schur_horizon_apply.
+    """
+    S, k = K.shape[0], K.shape[1]
+    p = jnp.asarray(E).shape[0]
+    E = jnp.asarray(E, K.dtype)
+    F = jnp.asarray(F, K.dtype)
+    a = 0 if C is None else C.shape[-1]
+
+    def inv_fn(Ks):
+        if kkt_solver == "pallas":
+            from polympc_tpu.ops.ldlt import ldlt_inverse
+            return ldlt_inverse(Ks)
+        return jnp.linalg.inv(Ks)
+
+    def condense(Kinv, Cs):
+        XE = jnp.einsum("skj,pj->skp", Kinv, E)
+        XF = jnp.einsum("skj,pj->skp", Kinv, F)
+        XC = jnp.einsum("skj,sja->ska", Kinv, Cs) if a else None
+        return XE, XF, XC
+
+    if mesh is None:
+        Kinv = inv_fn(K)
+        XE, XF, XC = condense(Kinv, C)
+        Sloc = {"XE": XE, "XF": XF}
+        if a:
+            Sloc.update({"XC": XC, "C": C})
+        M = _interface_matrix(Sloc, E, F, S, G=G, Dg=Dg)
+        Minv = jnp.linalg.inv(M) if M.shape[0] else M
+        return {"Kinv": Kinv, "XE": XE, "XF": XF, "XC": XC, "C": C,
+                "Minv": Minv, "E": E, "F": F, "S": S, "p": p, "a": a,
+                "mesh": None, "axis": axis}
+
+    if mesh.devices.size != S:
+        raise ValueError(f"mesh size {mesh.devices.size} != segments {S}")
+
+    def shard_fn(Kl, Cl):
+        Kinv = inv_fn(Kl)
+        XEl, XFl, XCl = condense(Kinv, Cl)
+        Sloc = {"XE": jax.lax.all_gather(XEl[0], axis),
+                "XF": jax.lax.all_gather(XFl[0], axis)}
+        if a:
+            Sloc["XC"] = jax.lax.all_gather(XCl[0], axis)
+            Sloc["C"] = jax.lax.all_gather(Cl[0], axis)
+        M = _interface_matrix(Sloc, E, F, S, G=G, Dg=Dg)
+        Minv = jnp.linalg.inv(M) if M.shape[0] else M
+        if a:
+            return Kinv, XEl, XFl, XCl, Minv
+        return Kinv, XEl, XFl, Minv
+
+    specs = (P(axis),) * (4 if a else 3) + (P(),)
+    out = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=specs, check_vma=False,
+    )(K, C if a else jnp.zeros((S, k, 0), K.dtype))
+    if a:
+        Kinv, XE, XF, XC, Minv = out
+    else:
+        (Kinv, XE, XF, Minv), XC = out, None
+    return {"Kinv": Kinv, "XE": XE, "XF": XF, "XC": XC,
+            "C": C, "Minv": Minv, "E": E, "F": F, "S": S, "p": p, "a": a,
+            "mesh": mesh, "axis": axis}
+
+
+def schur_horizon_apply(fac, b, c, bg=None):
+    """Solve the segment-coupled KKT for one rhs using a precomputed
+    :func:`schur_horizon_factor` — every step is a batched matvec.
+
+    Returns (w (S, k), mu (S-1, p)) or (w, mu, g) when the factor carries a
+    global border.
+    """
+    S, p, a = fac["S"], fac["p"], fac["a"]
+    E, F = fac["E"], fac["F"]
+    mesh, axis = fac["mesh"], fac["axis"]
+
+    def interface_solve(w0_all, cl):
+        Sloc = {"w0": w0_all, "c": cl}
+        if a:
+            Sloc["C"] = fac["C"]
+        r = _interface_rhs(Sloc, E, F, S, bg=bg if a else None)
+        sol = fac["Minv"] @ r if r.shape[0] else r
+        return _interface_split(sol, S, p, a, w0_all.dtype)
+
+    if mesh is None:
+        w0 = jnp.einsum("skj,sj->sk", fac["Kinv"], b)
+        mu, g = interface_solve(w0, c)
+        mu_pad = jnp.concatenate([jnp.zeros((1, p), b.dtype), mu,
+                                  jnp.zeros((1, p), b.dtype)], axis=0)
+        w = w0 - jnp.einsum("ikq,iq->ik", fac["XE"], mu_pad[1:]) \
+            - jnp.einsum("ikq,iq->ik", fac["XF"], mu_pad[:-1])
+        if a:
+            w = w - jnp.einsum("ika,a->ik", fac["XC"], g)
+        return (w, mu, g) if a else (w, mu)
+
+    def shard_fn(Kinvl, XEl, XFl, bl, cl, *maybe_XCl):
+        w0l = Kinvl[0] @ bl[0]
+        w0_all = jax.lax.all_gather(w0l, axis)
+        c_all = jax.lax.all_gather(cl[0], axis)[:-1]
+        mu, g = interface_solve(w0_all, c_all)
+        i = jax.lax.axis_index(axis)
+        mu_pad = jnp.concatenate(
+            [jnp.zeros((1, p), mu.dtype), mu, jnp.zeros((1, p), mu.dtype)],
+            axis=0)
+        zero = jnp.zeros((), i.dtype)
+        mu_right = jax.lax.dynamic_slice(mu_pad, (i + 1, zero), (1, p))[0]
+        mu_left = jax.lax.dynamic_slice(mu_pad, (i, zero), (1, p))[0]
+        w = w0l - XEl[0] @ mu_right - XFl[0] @ mu_left
+        if a:
+            w = w - maybe_XCl[0][0] @ g
+        return w[None], mu, g
+
+    args = [fac["Kinv"], fac["XE"], fac["XF"], b,
+            jnp.concatenate([c, jnp.zeros((1, p), c.dtype)], axis=0)]
+    if a:
+        args.append(fac["XC"])
+    w, mu, g = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis),) * len(args),
+        out_specs=(P(axis), P(), P()),
+        check_vma=False,
+    )(*args)
     return (w, mu, g) if a else (w, mu)
 
 
