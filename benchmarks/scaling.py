@@ -111,6 +111,17 @@ def run_point(S: int, backend: str, B: int, reps: int = 3):
     # lanes stop factoring but the while_loop runs to the slowest lane)
     epochs = 3 * mean_iters
     gflops = factor_flops * epochs * B / dt / 1e9
+    # HBM traffic estimate per epoch per lane: the epoch kernel streams the
+    # KKT tile in (K^2 fp32), keeps the factor VMEM-resident across the
+    # check_every iterations, and writes the 2(n+m)+n state vectors back —
+    # the design point ("factor never leaves VMEM", ops/admm_epoch.py).
+    # BBT stores only the structural blocks: S k^2 + border.
+    kkt_values = (K * K) if backend == "dense" else (S * k * k + 2 * S * k
+                                                     * max(1, stb.a))
+    bytes_per_epoch = 4 * (kkt_values + 3 * (n + m) + 2 * n)
+    gbs = bytes_per_epoch * epochs * B / dt / 1e9
+    # v5e single-chip peaks (public spec): 394 GB/s HBM, 197 bf16 TFLOP/s
+    # -> fp32 MXU peak ~ 1/4 of bf16
     return {
         "segments": S, "backend": backend, "nodes": 5 * S + 1,
         "K": K, "k_block": k, "batch": B,
@@ -119,6 +130,9 @@ def run_point(S: int, backend: str, B: int, reps: int = 3):
             solved / dt / max(1, len(jax.devices())), 1),
         "solved": solved, "mean_sqp_iters": round(mean_iters, 2),
         "factor_gflops_per_s_est": round(gflops, 1),
+        "hbm_gb_per_s_est": round(gbs, 1),
+        "pct_hbm_roofline": round(100.0 * gbs / 394.0, 1),
+        "pct_fp32_mxu_roofline": round(100.0 * gflops / (197e3 / 4), 2),
     }
 
 

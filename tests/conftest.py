@@ -10,15 +10,23 @@ conftest runs — we must go through jax.config.update instead.
 """
 import os
 
+# POLYMPC_TPU_TESTS=1 leaves the real backend alone so the @pytest.mark.tpu
+# compiled-kernel parity suite (test_tpu_kernels.py) can run against actual
+# Mosaic lowering in the bench environment; CPU-only tests still pass
+# because numerics are identical — but normal CI should NOT set it (fp64
+# oracles need the x64 config below).
+_TPU_MODE = os.environ.get("POLYMPC_TPU_TESTS") == "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
+if not _TPU_MODE:
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
-
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    assert jax.default_backend() == "cpu", jax.default_backend()
