@@ -172,9 +172,10 @@ def bench_frame_transform(dtype=jnp.float32, batch=4096, reps=50):
 # --------------------------------------------------------------------------
 # 3. race-car path-following NMPC OCP (the 6.21 ms row)
 # --------------------------------------------------------------------------
-def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
+def bench_race_car_ocp(dtype=jnp.float32, batch=512, reps=50):
     from polympc_tpu.basis import Chebyshev, SegmentedBasis
     from polympc_tpu.models import CarParams, make_wave_track, race_car_ocp
+    from polympc_tpu.nlp.refine import refine_solution
     from polympc_tpu.nlp.sqp import sqp_solve
     from polympc_tpu.nlp.types import NLPBounds, SQPSettings
     from polympc_tpu.ocp import transcribe, ocp_bounds
@@ -187,24 +188,35 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
     tr = transcribe(ocp, mesh, x_scale=[10.0, 1.0, 1.0, 30.0, 1.0, 1.0],
                     u_scale=[0.4, 1e4, 1e4])
     prm = tr.params(d=[15.0], t0=0.0, tf=2.0, dtype=dtype)
+    # track coordinate s is UNBOUNDED below: kappa(s) is a periodic spline,
+    # so negative s is just "behind the start line".  (An s >= 0 bound makes
+    # every perturbed initial state with s0 < 0 infeasible — the dynamics
+    # cannot jump the interior collocation nodes to s >= 0.)
     bounds = ocp_bounds(
         tr, ul=[-0.4, -2e4, -2e4], uu=[0.4, 2e4, 2e4],
-        xl=[1.0, -5.0, -3.0, 0.0, -2.0, -1.0],
+        xl=[1.0, -5.0, -3.0, -1e3, -2.0, -1.0],
         xu=[40.0, 5.0, 3.0, 1e3, 2.0, 1.0], dtype=dtype)
-    # reference-default tolerances: SQP 1e-3, inner QP 1e-4.  The car's
-    # Pacejka Hessian needs eigmin regularisation + the active-set polish
-    # for the SQP dual-step test to settle (measured on TPU: mirror/no-
-    # polish stalls at ds ~ 0.4, eigmin+polish converges in 59 cold iters)
+    # TPU-tuned configuration (round-4 sweep on v5e):
+    #   exact Hessian + "mirror" (Newton-Schulz |H|) regularisation — the
+    #     Pacejka Hessian is indefinite; GN drops the dynamics curvature
+    #     and creeps (the cost has zero curvature in s, so GN steps blow up
+    #     along the track direction and the line search truncates them);
+    #   10 x 50 BBT-Pallas ADMM epochs at 1e-5: warm solves then converge
+    #     in ~5 SQP iterations (3 x 50 @ 1e-4 leaves the steps too noisy);
+    #   polish off: with an accurate inner ADMM it buys nothing (measured
+    #     identical convergence, 2.1x batch wall).
+    QP = ADMMSettings(rho=1.0, eps_abs=1e-5, eps_rel=1e-5,
+                      max_epochs=10, check_every=50, equil_iters=0,
+                      kkt_solver="pallas", structure=tr.bbt_structure(),
+                      polish=False)
     settings = SQPSettings(
-        hessian="exact", max_iter=80, reg="eigmin",
+        hessian="exact", max_iter=120, reg="mirror",
         eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
-        qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
-                        max_epochs=8, check_every=50, equil_iters=0,
-                        kkt_solver="pallas", structure=tr.bbt_structure(),
-                        polish=True))
-    # warm re-solves converge on their own; max_iter is only a cap (the
-    # while_loop exits at convergence), so keep the cold margin
-    settings_warm = settings
+        qp=QP)
+    settings_warm = SQPSettings(
+        hessian="exact", max_iter=16, reg="mirror",
+        eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
+        qp=QP)
     nx = ocp.nx
     sx = jnp.asarray(tr.x_scale, dtype)
 
@@ -226,7 +238,11 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
                          lam_box0=lam_box0, settings=settings_warm)
 
     x0 = jnp.asarray([10.0, 0.0, 0.0, 0.0, 0.4, 0.05], dtype)
-    z_cold = tr.rollout_guess(x0, prm)
+    # constant guess, NOT the zero-control rollout: rolling out with zero
+    # force drifts the state into a basin the SQP cannot leave (measured:
+    # every backend/precision fails from the rollout guess, all converge
+    # from the constant guess)
+    z_cold = tr.initial_guess(np.asarray(x0), dtype=dtype)
     sol = solve_cold(x0, z_cold, jnp.zeros(tr.nlp.m, dtype),
                      jnp.zeros(tr.nlp.n, dtype))
     jax.block_until_ready(sol.x)
@@ -241,6 +257,30 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
     assert int(sol1.status) == st.SOLVED
     warm_iters = int(sol1.iters)
 
+    # fp64 refinement + 1e-6 certification (same pipeline as the kite
+    # headline bench, bench.py): refine every solution with Newton-KKT
+    # steps from the fp32 point and certify the unscaled fp64 KKT norm —
+    # inside the timed loop, so the throughput row is delivered-at-1e-6
+    with jax.enable_x64():
+        prm64 = tr.params(d=[15.0], t0=0.0, tf=2.0, dtype=jnp.float64)
+        bounds64 = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float64), bounds)
+        sx64 = jnp.asarray(tr.x_scale, jnp.float64)
+
+        @jax.jit
+        def certify(x0s, sols_x, sols_lam, sols_lam_box):
+            def one(x0, z, lam, lam_box):
+                x0s_ = jnp.asarray(x0, jnp.float64) / sx64
+                b = bounds64._replace(
+                    lbx=bounds64.lbx.at[:nx].set(x0s_),
+                    ubx=bounds64.ubx.at[:nx].set(x0s_))
+                out = refine_solution(tr.nlp, z, lam, lam_box, b, prm64,
+                                      iters=8, solve_dtype=jnp.float32,
+                                      matrix_dtype=jnp.float32,
+                                      return_residual=True)
+                return out[3]
+            return jax.vmap(one)(x0s, sols_x, sols_lam, sols_lam_box)
+
     # batched throughput: a fleet of cars at jittered states, warm-started
     rng = np.random.default_rng(3)
     dx = rng.standard_normal((batch, 6)) * \
@@ -250,16 +290,35 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=256, reps=50):
     lams = jnp.broadcast_to(sol.lam, (batch,) + sol.lam.shape)
     lbs = jnp.broadcast_to(sol.lam_box, (batch,) + sol.lam_box.shape)
     batched = jax.jit(jax.vmap(solve))
-    dt, sols = _time_throughput(batched, (x0s, zs, lams, lbs))
+    sols = batched(x0s, zs, lams, lbs)
+    with jax.enable_x64():
+        kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
+    jax.block_until_ready(kkt)
+
+    t0 = time.perf_counter()
+    for _ in range(10):
+        sols = batched(x0s, zs, lams, lbs)
+        with jax.enable_x64():
+            kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
+        jax.block_until_ready(kkt)
+    dt = (time.perf_counter() - t0) / 10
+
+    kk = np.asarray(kkt)
     solved = int((np.asarray(sols.status) == st.SOLVED).sum())
+    ok = (np.asarray(sols.status) == st.SOLVED) & (kk <= 1e-6)
+    certified = int(ok.sum())
     return {
         "workload": "race_car_nmpc_ocp",
         "n": int(tr.nlp.n), "m": int(tr.nlp.m),
         "latency_ms_mean": round(mean_ms, 4), "latency_ms_max": round(max_ms, 4),
         "warm_iters": warm_iters,
         "batch": batch, "batch_solved": solved,
+        "batch_certified_1e-6": certified,
+        "kkt_tol": 1e-6,
+        "certified_kkt_max": float(kk[ok].max()) if certified else None,
         "throughput_us_per_solve": round(dt / batch * 1e6, 3),
         "solves_per_s": round(batch / dt, 1),
+        "certified_solves_per_s": round(certified / dt, 1),
         "reference_ms": {"pc": 6.21, "speedgoat": 10.7, "xavier": 15.43},
     }
 

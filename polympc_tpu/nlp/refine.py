@@ -171,12 +171,12 @@ def _newton_kkt_solve(M, r, ir: int = 2):
 @functools.partial(jax.jit,
                    static_argnames=("nlp", "iters", "act_tol", "solve_dtype",
                                     "matrix_dtype", "return_residual",
-                                    "kkt_solver"))
+                                    "kkt_solver", "solve_ir"))
 def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
                     iters: int = 2, act_tol: float = 1e-3,
                     solve_dtype=None, matrix_dtype=None,
                     return_residual: bool = False,
-                    kkt_solver: str = "ldlt"):
+                    kkt_solver: str = "ldlt", solve_ir: int = 2):
     """Newton-KKT refinement in fp64 from an fp32 (or loose fp64) solution.
 
     ``solve_dtype`` controls the precision of the inner linear solve only:
@@ -318,10 +318,21 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
         else:
             M = Wm
             r = rz
-        sol = _newton_kkt_solve(M.astype(sd), (-r).astype(sd)) \
+        # symmetric Jacobi (max-row) equilibration before the low-precision
+        # solve: the active-set KKT inherits the NLP's raw row scales (the
+        # race car's force columns sit 1e4 above its angle columns), and
+        # unpivoted fp32 LDL^T loses ~kappa*eps32 per solve — measured: the
+        # unequilibrated solve stalled 5/256 race-car lanes at 1e-4 KKT
+        # while equilibrated lanes contract to 1e-6.  Exact in fp64: the
+        # scaling is applied and undone outside the fp32 factorisation.
+        dscale = 1.0 / jnp.sqrt(
+            jnp.clip(jnp.max(jnp.abs(M), axis=1), 1e-10, None))
+        Ms = (dscale[:, None] * M) * dscale[None, :]
+        rs = dscale * (-r)
+        sol = _newton_kkt_solve(Ms.astype(sd), rs.astype(sd)) \
             if kkt_solver == "ldlt" else \
-            jnp.linalg.solve(M.astype(sd), (-r).astype(sd))
-        sol = sol.astype(f64)
+            jnp.linalg.solve(Ms.astype(sd), rs.astype(sd))
+        sol = dscale * sol.astype(f64)
         ok = jnp.all(jnp.isfinite(sol))
         dz = jnp.where(ok, sol[:n], 0.0)
         z2 = jnp.clip(z + dz, lbx, ubx)         # exact for the active set

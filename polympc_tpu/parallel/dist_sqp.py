@@ -102,12 +102,17 @@ class DistSQPSettings:
     kkt_solver: str = "lu"
     loose_bound: float = 1e10
     eq_tol: float = 1e-4
+    # per-iteration observability: records (cost, violation, primal_step,
+    # dual_step) for the first trace_iters SQP iterations (the distributed
+    # analogue of SQPSettings.trace_iters / the reference's
+    # iteration_callback, sqp_base.hpp:33,685-686)
+    trace_iters: int = 0
 
     def validate(self) -> bool:
         return (self.max_iter > 0 and self.ls_max_iter > 0
                 and 0 < self.tau < 1 and self.rho > 0 and self.sigma > 0
                 and 0 < self.alpha < 2 and self.admm_iters > 0
-                and self.check_every > 0
+                and self.check_every > 0 and self.trace_iters >= 0
                 and self.kkt_solver in ("lu", "pallas"))
 
 
@@ -767,7 +772,7 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
 
     def body(carry):
         (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, it, done,
-         ps, ds, vi, qp_iters_acc, qp_status) = carry
+         ps, ds, vi, qp_iters_acc, qp_status, trace) = carry
 
         g, c, J, Hn = seg_derivs(W, Pv, lam_loc)
         gW = g[:, :kz]                                     # (S, kz)
@@ -879,10 +884,18 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
             & (vi2 <= settings.eps_viol) \
             & (stat <= settings.eps_stat * lam_scale)
 
+        trace2 = trace
+        if settings.trace_iters > 0:
+            slot = jnp.clip(it, 0, settings.trace_iters - 1)
+            f2, _ = merit_parts(W2, Pv2)
+            row = jnp.stack([f2.astype(dt), vi2.astype(dt),
+                             ps2.astype(dt), ds2.astype(dt)])
+            row = jnp.where(it < settings.trace_iters, row, trace[slot])
+            trace2 = trace.at[slot].set(row)
         new = (W2, Pv2, lam_loc2, lam_if2, lam_bw2, lam_bp2, it + 1, conv,
-               ps2, ds2, vi2, qp_iters_acc + qp_it, qp_st)
+               ps2, ds2, vi2, qp_iters_acc + qp_it, qp_st, trace2)
         old = (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, it, done, ps, ds, vi,
-               qp_iters_acc, qp_status)
+               qp_iters_acc, qp_status, trace)
         return jax.tree_util.tree_map(
             lambda o, nw: jnp.where(done, o, nw), old, new)
 
@@ -897,20 +910,23 @@ def dist_sqp_solve(dtr: DistTranscription, bounds: DistBounds,
     W0 = jnp.clip(W0.astype(dt), lbw, ubw)
     Pv0 = jnp.clip(Pv0, lbp, ubp) if np_ else Pv0
 
+    trace0 = jnp.full((settings.trace_iters, 4), jnp.nan, dt)
     init = (W0, Pv0, lam_loc0, lam_if0, lam_bw0, lam_bp0,
             jnp.zeros((), jnp.int32), jnp.zeros((), bool),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
             jnp.asarray(jnp.inf, dt), jnp.zeros((), jnp.int32),
-            jnp.asarray(st.UNINITIALIZED, jnp.int32))
+            jnp.asarray(st.UNINITIALIZED, jnp.int32), trace0)
     (W, Pv, lam_loc, lam_if, lam_bw, lam_bp, iters, done,
-     ps, ds, vi, qp_iters, qp_status) = jax.lax.while_loop(cond, body, init)
+     ps, ds, vi, qp_iters, qp_status, trace) = jax.lax.while_loop(
+        cond, body, init)
 
     status = jnp.where(done, st.SOLVED, st.MAX_ITER_EXCEEDED).astype(jnp.int32)
     return {"W": W, "P": Pv, "lam_loc": lam_loc, "lam_if": lam_if,
             "lam_bw": lam_bw, "lam_bp": lam_bp, "status": status,
             "iters": iters, "cost": total_cost(W, Pv),
             "primal_step": ps, "dual_step": ds, "violation": vi,
-            "qp_iters": qp_iters, "qp_status": qp_status}
+            "qp_iters": qp_iters, "qp_status": qp_status,
+            "trace": trace if settings.trace_iters > 0 else None}
 
 
 # ---------------------------------------------------------------------------

@@ -168,6 +168,29 @@ def _make_epoch_fn(sigma, alpha, iters, structure=None):
 
     def _epoch_impl(kkt, h, al, au, xl, xu, rho, rb, x, z, q, y, yb):
         n, m = h.shape[0], al.shape[0]
+        # solo solves on TPU: run the fused Pallas kernel as a 1-lane batch
+        # instead of XLA's pivoted LU — the LU factorisation is a scalar
+        # recurrence on TPU and dominates single-instance (B=1 real-time)
+        # latency (measured: 2.3 s -> 63 ms warm race-car re-solve).  Only
+        # above K ~ 96: tiny KKTs (spline fit K=47, frame transform K=1)
+        # are faster through LU than through a 128-lane-padded kernel
+        # (measured: 0.27 -> 0.43 ms spline-fit regression unguarded)
+        if (jax.default_backend() == "tpu" and kkt.dtype == jnp.float32
+                and n + m >= 96):
+            args1 = [a[None] for a in (kkt, h, al, au, xl, xu, rho, rb,
+                                       x, z, q, y, yb)]
+            if (structure is not None and structure.n == n
+                    and structure.m == m
+                    and structure_is_consistent(structure)
+                    and bbt_kernel_fits(structure)):
+                out = bbt_admm_epoch_batched(*args1, st=structure,
+                                             sigma=sigma, alpha=alpha,
+                                             iters=iters)
+                return tuple(o[0] for o in out)
+            if epoch_kernel_fits(n, m):
+                out = admm_epoch_batched(*args1, sigma=sigma, alpha=alpha,
+                                         iters=iters)
+                return tuple(o[0] for o in out)
         fac = lu_factor(kkt)
 
         def it(_, state):

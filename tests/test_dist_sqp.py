@@ -338,3 +338,31 @@ def test_dist_sqp_surfaces_qp_diagnostics():
     assert 0 < int(out["qp_iters"]) < int(out["iters"]) * 400
     assert int(out["qp_status"]) in (st.SOLVED, st.MAX_ITER_EXCEEDED,
                                      st.INFEASIBLE)
+
+
+def test_dist_sqp_iteration_trace():
+    """trace_iters > 0 records per-iteration (cost, violation, ps, ds)
+    rows — the distributed analogue of SQPSolution.trace."""
+    ocp = parking_ocp()
+    x0 = [1.0, 1.0, np.pi / 2]
+    dtr = dist_transcribe(ocp, Chebyshev(5), 2, 0.0, 1.0)
+    bounds = dist_bounds(dtr, x0=x0, ul=[-1.0, -1.0], uu=[1.0, 1.0],
+                         pl=[0.0], pu=[10.0])
+    W0, P0 = dtr.rollout_guess(jnp.asarray(x0, jnp.float64), d=[1.0])
+    P0 = P0.at[0].set(0.5)
+    out = dist_sqp_solve(dtr, bounds, W0, P0, d=[1.0],
+                         settings=DistSQPSettings(max_iter=40,
+                                                  admm_iters=400,
+                                                  trace_iters=10))
+    assert int(out["status"]) == st.SOLVED
+    tra = np.asarray(out["trace"])
+    assert tra.shape == (10, 4)
+    k = int(out["iters"])
+    rows = tra[:min(k, 10)]
+    assert np.all(np.isfinite(rows)), rows
+    # the recorded cost matches the final cost at the last iteration
+    np.testing.assert_allclose(rows[min(k, 10) - 1, 0], float(out["cost"]),
+                               rtol=1e-8)
+    # rows past the final iteration stay NaN
+    if k < 10:
+        assert np.all(np.isnan(tra[k:]))

@@ -91,10 +91,16 @@ def test_fp32_plus_refinement_certifies_1e6(name):
     import dataclasses
     tr, mk = SETUPS[name]()
     prm32, bounds32, z032 = mk(jnp.float32)
-    # the bench iteration cap (12) is tuned for warm/rollout-started kite
-    # batches; the cold-started minimum-time problem needs more
+    # the bench iteration cap (12) and 3-epoch inner QP are tuned for
+    # warm/rollout-started kite batches; the cold-started minimum-time
+    # problem needs more SQP iterations AND a more accurate inner QP in
+    # honest fp32 (transcription keeps the NLP in the requested dtype —
+    # with 3 epochs the dual step stalls at ~1.5)
     settings = dataclasses.replace(
-        TPU_SETTINGS, max_iter=30 if name == "parking" else 12)
+        TPU_SETTINGS, max_iter=30 if name == "parking" else 12,
+        qp=dataclasses.replace(
+            TPU_SETTINGS.qp,
+            max_epochs=6 if name == "parking" else 3))
     sol = sqp_solve(tr.nlp, z032, p=prm32, bounds=bounds32,
                     settings=settings)
     assert int(sol.status) == st.SOLVED
