@@ -115,6 +115,15 @@ def main():
         bounds64 = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float64), bounds)
 
+        # adaptive fp64 refinement (r5): 2 unconditional Newton-KKT
+        # iterations for every lane, then 2 more for only the TAIL_K
+        # worst-residual lanes (gather -> refine -> scatter).  ~96% of lanes
+        # certify within 2 iterations, so the r4 scheme's 2 extra
+        # unconditional sweeps (bench r4: -4.9% throughput for +25 lanes)
+        # shrink to a TAIL_K/B-sized sub-batch; the tail lanes still get the
+        # full 4 iterations, so the certified count is preserved
+        TAIL_K = 64
+
         @jax.jit
         def certify(x0s, sols_x, sols_lam, sols_lam_box):
             nx = tr.ocp.nx
@@ -131,13 +140,21 @@ def main():
                 # certified residual rides back with the solution
                 # (return_residual) so certification costs no extra fp64
                 # Jacobian evaluation
-                out = refine_solution(tr.nlp, z, lam, lam_box, b,
-                                      prm64, iters=4,
-                                      solve_dtype=jnp.float32,
-                                      matrix_dtype=jnp.float32,
-                                      return_residual=True)
-                return out[3]
-            return jax.vmap(one)(x0s, sols_x, sols_lam, sols_lam_box)
+                return refine_solution(tr.nlp, z, lam, lam_box, b,
+                                       prm64, iters=2,
+                                       solve_dtype=jnp.float32,
+                                       matrix_dtype=jnp.float32,
+                                       return_residual=True)
+
+            z1, lam1, lamb1, r1 = jax.vmap(one)(
+                x0s, sols_x, sols_lam, sols_lam_box)
+            # gather the TAIL_K worst lanes (refine_solution returns its
+            # best-by-residual iterate, so the re-refined residual can only
+            # improve; already-certified gathered lanes are unaffected)
+            _, idx = jax.lax.top_k(r1, TAIL_K)
+            _, _, _, r2 = jax.vmap(one)(
+                x0s[idx], z1[idx], lam1[idx], lamb1[idx])
+            return r1.at[idx].set(r2)
 
     # warmup / compile
     z0s = rollout(x0s)

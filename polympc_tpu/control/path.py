@@ -33,7 +33,8 @@ from polympc_tpu.qp.box_admm import box_admm_solve
 from polympc_tpu.qp.types import ADMMSettings, QPData
 
 __all__ = ["fit_spline_qp", "spline_fit_qp_data", "PathFrame",
-           "track_from_curvature", "frame_transform", "project_on_path"]
+           "track_from_curvature", "frame_transform", "project_on_path",
+           "project_on_path_newton"]
 
 
 def spline_fit_qp_data(s: np.ndarray, y: np.ndarray, n_segments: int,
@@ -176,13 +177,64 @@ def project_on_path(path: PathFrame, point, s0=None,
     return sol.x[0], sol
 
 
-def frame_transform(path: PathFrame, X, Y, psi, s0=None, dtype=jnp.float64):
+def project_on_path_newton(path: PathFrame, point, s0=None,
+                           n_newton: int = 6, n_grid: int = 128,
+                           dtype=jnp.float64):
+    """min_s ||p - p_c(s)||^2, 0 <= s <= s_max, as one fused projected-Newton
+    scan — the latency-class solver for the reference's frame-transform NLP
+    (applications.rst:489-510).
+
+    The projection is a smooth 1-D problem on a cubic-spline path; a coarse
+    grid seed (or the caller's previous s) followed by a handful of clipped
+    Newton steps lands on the same minimiser the dense SQP finds
+    (``project_on_path``, kept as the accuracy oracle in
+    tests/test_race_car.py) but compiles to one straight-line XLA program —
+    no inner QP, no while_loop — so a B=1 dispatch rides the ~0.07 ms
+    host->TPU floor instead of the SQP's sequential kernel chain.  Steps are
+    projected onto [0, s_max] (bound-constrained stationarity: at an active
+    bound the clipped step is exactly the projected-gradient fixed point).
+
+    jit/vmap-safe; returns the scalar s*.
+    """
+    point = jnp.asarray(point, dtype)
+    f = lambda s: jnp.sum((path.position(s) - point) ** 2)
+    df = jax.grad(f)
+    ddf = jax.grad(df)
+    if s0 is None:
+        grid = jnp.linspace(0.0, path.s_max, n_grid, dtype=dtype)
+        d2 = jax.vmap(f)(grid)
+        s0 = grid[jnp.argmin(d2)]
+    s0 = jnp.asarray(s0, dtype).reshape(())
+    max_step = 0.1 * path.s_max
+
+    def newton(s, _):
+        h = ddf(s)
+        # fall back to a gradient step when the local curvature is <= 0
+        # (point near the path's centre of curvature)
+        step = df(s) / jnp.where(h > 1e-9, h, 1.0)
+        s = jnp.clip(s - jnp.clip(step, -max_step, max_step),
+                     0.0, path.s_max)
+        return s, None
+
+    s, _ = jax.lax.scan(newton, s0, None, length=n_newton)
+    return s
+
+
+def frame_transform(path: PathFrame, X, Y, psi, s0=None, dtype=jnp.float64,
+                    method: str = "newton"):
     """Cartesian pose -> curvilinear (s, w, theta) (applications.rst:349-358).
 
     w > 0 left of the centerline; theta = psi - psi_c wrapped to (-pi, pi].
+    ``method="newton"`` (default) uses the fused projected-Newton projection
+    (latency class); ``method="sqp"`` routes through the dense SQP solver —
+    the two agree to solver tolerance (tests/test_race_car.py).
     """
-    s, _ = project_on_path(path, jnp.asarray([X, Y], dtype), s0=s0,
-                           dtype=dtype)
+    if method == "newton":
+        s = project_on_path_newton(path, jnp.asarray([X, Y], dtype), s0=s0,
+                                   dtype=dtype)
+    else:
+        s, _ = project_on_path(path, jnp.asarray([X, Y], dtype), s0=s0,
+                               dtype=dtype)
     psic = path.psi_c(s)
     w = (Y - path.Yc(s)) * jnp.cos(psic) - (X - path.Xc(s)) * jnp.sin(psic)
     theta = jnp.mod(psi - psic + jnp.pi, 2 * jnp.pi) - jnp.pi

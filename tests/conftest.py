@@ -24,9 +24,28 @@ if not _TPU_MODE:
             flags + " --xla_force_host_platform_device_count=8").strip()
     os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 
+import gc
+
 import jax
+import pytest
 
 if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop jit/compilation caches after every test module.
+
+    The suite compiles hundreds of distinct programs (many with second-order
+    AD); without this, accumulated executables + tracing caches grow past
+    what this container tolerates and a single-process `pytest tests/ -q`
+    run dies with a fatal signal around test ~237 (r4 VERDICT weak #3).
+    Per-module clearing keeps within-module warm-compile reuse (the
+    expensive fixtures are module-scoped) while bounding process growth.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

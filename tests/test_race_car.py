@@ -132,6 +132,27 @@ def test_project_on_path_converges(wave_path):
     assert abs(float(s) - 120.0) < 1e-2
 
 
+def test_project_newton_matches_sqp(wave_path):
+    """The fused projected-Newton projection (the latency-class solver the
+    headline bench times) agrees with the dense-SQP formulation — the SQP is
+    the accuracy oracle (VERDICT r4 task 1a)."""
+    from polympc_tpu.control.path import project_on_path_newton
+    path = wave_path
+    for s_true, ds0 in [(120.0, -0.8), (5.0, 0.5), (195.0, -0.3)]:
+        pt = jnp.asarray([float(path.Xc(s_true)), float(path.Yc(s_true))])
+        s_sqp, sol = project_on_path(path, pt, s0=s_true + ds0)
+        assert int(sol.status) == st.SOLVED
+        # warm-started (previous-s) and cold (grid-seeded) Newton
+        s_warm = project_on_path_newton(path, pt, s0=s_true + ds0)
+        s_cold = project_on_path_newton(path, pt)
+        assert abs(float(s_warm) - float(s_sqp)) < 1e-4
+        assert abs(float(s_cold) - float(s_sqp)) < 1e-4
+    # active-bound case: a point behind the start line projects to s = 0
+    pt0 = jnp.asarray([float(path.Xc(0.0)) - 1.0, float(path.Yc(0.0))])
+    s_b = project_on_path_newton(path, pt0)
+    assert abs(float(s_b)) < 1e-6
+
+
 def test_race_car_nmpc_solve():
     """Path-following NMPC on the wavy track: the headline benchmark OCP
     (applications.rst:625 "OCP 6.21 ms").  SOLVED + warm-start re-solve."""
