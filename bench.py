@@ -139,22 +139,27 @@ def main():
                 # Hessian in fp32 (it only preconditions the step); the
                 # certified residual rides back with the solution
                 # (return_residual) so certification costs no extra fp64
-                # Jacobian evaluation
+                # Jacobian evaluation; return_last hands back the raw final
+                # Newton iterate so the tail sweep continues the
+                # (non-monotone) Newton path instead of restarting from the
+                # pinned best point
                 return refine_solution(tr.nlp, z, lam, lam_box, b,
                                        prm64, iters=2,
                                        solve_dtype=jnp.float32,
                                        matrix_dtype=jnp.float32,
-                                       return_residual=True)
+                                       return_residual=True,
+                                       return_last=True)
 
-            z1, lam1, lamb1, r1 = jax.vmap(one)(
+            _, _, _, r1, zl, laml, lambl = jax.vmap(one)(
                 x0s, sols_x, sols_lam, sols_lam_box)
-            # gather the TAIL_K worst lanes (refine_solution returns its
-            # best-by-residual iterate, so the re-refined residual can only
-            # improve; already-certified gathered lanes are unaffected)
+            # gather the TAIL_K worst lanes and give them 2 more iterations
+            # from their LAST iterate (continuing the Newton path);
+            # already-certified gathered lanes can only improve (the tail
+            # sweep's returned residual is best-of-input-and-iterates)
             _, idx = jax.lax.top_k(r1, TAIL_K)
-            _, _, _, r2 = jax.vmap(one)(
-                x0s[idx], z1[idx], lam1[idx], lamb1[idx])
-            return r1.at[idx].set(r2)
+            _, _, _, r2, _, _, _ = jax.vmap(one)(
+                x0s[idx], zl[idx], laml[idx], lambl[idx])
+            return r1.at[idx].set(jnp.minimum(r1[idx], r2))
 
     # warmup / compile
     z0s = rollout(x0s)

@@ -136,12 +136,157 @@ def run_point(S: int, backend: str, B: int, reps: int = 3):
     }
 
 
+def run_kernel_micro(S: int, backend: str, B: int, iters: int = 50,
+                     sweeps: int = 20):
+    """MEASURED epoch-kernel time at the solver's shape (not an analytic
+    estimate): builds the real regularised KKT for the kite problem at S
+    segments, then times ``sweeps`` data-dependent back-to-back epoch-kernel
+    dispatches inside one jit.  Achieved GB/s is actual-bytes/measured-time
+    with the same traffic model as run_point (KKT tile streamed in once per
+    epoch, factor VMEM-resident, state vectors in+out) — this anchors the
+    analytic roofline columns (r4 VERDICT weak #6)."""
+    from polympc_tpu.basis import Chebyshev, SegmentedBasis
+    from polympc_tpu.control.nmpf import augment_ocp
+    from polympc_tpu.models import kite_dynamics, kite_output, kite_path
+    from polympc_tpu.ocp import transcribe
+    from polympc_tpu.ops.admm_epoch import admm_epoch_batched, \
+        epoch_kernel_fits
+    from polympc_tpu.ops.bbt_kernel import bbt_admm_epoch_batched, \
+        bbt_kernel_fits
+
+    dtype = jnp.float32
+    ocp = augment_ocp(lambda x, u: kite_dynamics(x, u), kite_output,
+                      kite_path, nx=3, nu=1, ny=2)
+    tr = transcribe(ocp, SegmentedBasis(Chebyshev(5), S))
+    prm = tr.params(d=[0.05], t0=0.0, tf=2.0, dtype=dtype)
+    n, m = tr.nlp.n, tr.nlp.m
+    K = n + m
+    stb = tr.bbt_structure()
+    fits = {"dense": epoch_kernel_fits(n, m), "bbt": bbt_kernel_fits(stb)}
+    if not fits[backend]:
+        return {"mode": "kernel_micro", "segments": S, "backend": backend,
+                "K": K, "skipped": "kernel does not fit VMEM at this size"}
+
+    # a real (regularised-Lagrangian-Hessian) ADMM KKT at a mid-solve point
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.standard_normal(n) * 0.1, dtype)
+    lam = jnp.asarray(rng.standard_normal(m) * 0.1, dtype)
+    from polympc_tpu.nlp.hessian import regularize
+    H = regularize(jax.jit(tr.nlp.lag_hessian)(z, lam, prm), "mirror", 1e-4)
+    A = jax.jit(jax.jacfwd(lambda zz: tr.nlp.eq(zz, prm)))(z)
+    sigma, rho_v = 1e-6, 1.0
+    kkt1 = jnp.block(
+        [[H + sigma * jnp.eye(n, dtype=dtype), A.T],
+         [A, -jnp.eye(m, dtype=dtype) / rho_v]])
+    kkt = jnp.broadcast_to(kkt1[None], (B, K, K))
+    h = jnp.broadcast_to(jnp.asarray(rng.standard_normal(n), dtype)[None],
+                         (B, n))
+    al = jnp.zeros((B, m), dtype)
+    au = jnp.zeros((B, m), dtype)
+    xl = jnp.full((B, n), -1.0, dtype)
+    xu = jnp.full((B, n), 1.0, dtype)
+    rho = jnp.full((B, m), rho_v, dtype)
+    rb = jnp.full((B, n), 0.1, dtype)
+    x = jnp.zeros((B, n), dtype)
+    zv = jnp.zeros((B, m), dtype)
+    q = jnp.zeros((B, n), dtype)
+    y = jnp.zeros((B, m), dtype)
+    yb = jnp.zeros((B, n), dtype)
+
+    if backend == "bbt":
+        ep = lambda x, zv, q, y, yb: bbt_admm_epoch_batched(
+            kkt, h, al, au, xl, xu, rho, rb, x, zv, q, y, yb,
+            st=stb, sigma=sigma, alpha=1.6, iters=iters)
+    else:
+        ep = lambda x, zv, q, y, yb: admm_epoch_batched(
+            kkt, h, al, au, xl, xu, rho, rb, x, zv, q, y, yb,
+            sigma=sigma, alpha=1.6, iters=iters)
+
+    @jax.jit
+    def many(x, zv, q, y, yb):
+        def body(c, _):
+            return ep(*c), None
+        out, _ = jax.lax.scan(body, (x, zv, q, y, yb), None, length=sweeps)
+        return out
+
+    out = many(x, zv, q, y, yb)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = many(x, zv, q, y, yb)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / sweeps
+
+    k = stb.k
+    kkt_values = (K * K) if backend == "dense" else (S * k * k + 2 * S * k
+                                                     * max(1, stb.a))
+    bytes_per_epoch = 4 * (kkt_values + 3 * (n + m) + 2 * n)
+    factor_flops = (K ** 3 / 3 if backend == "dense" else S * k ** 3 / 3)
+    return {
+        "mode": "kernel_micro", "segments": S, "backend": backend,
+        "K": K, "k_block": k, "batch": B, "iters_per_epoch": iters,
+        "measured_ms_per_epoch_batch": round(dt * 1e3, 4),
+        "measured_us_per_epoch_lane": round(dt / B * 1e6, 3),
+        "hbm_gb_per_s_measured": round(bytes_per_epoch * B / dt / 1e9, 1),
+        "factor_gflops_per_s_measured": round(
+            factor_flops * B / dt / 1e9, 1),
+        "pct_hbm_roofline": round(
+            100.0 * bytes_per_epoch * B / dt / 1e9 / 394.0, 1),
+    }
+
+
+def run_dist_point(S: int, kkt_solver: str, reps: int = 5):
+    """One horizon-partitioned dist-SQP point, timing kkt_solver='lu' vs
+    'pallas' for the per-segment elimination (settles r4 VERDICT weak #7:
+    the 'lu' default had no recorded basis)."""
+    from polympc_tpu.basis import Chebyshev
+    from polympc_tpu.control.nmpf import augment_ocp
+    from polympc_tpu.models import kite_dynamics, kite_output, kite_path
+    from polympc_tpu.parallel import (
+        DistSQPSettings, dist_transcribe, dist_bounds, dist_sqp_solve)
+    from polympc_tpu.utils import status as st
+
+    ocp = augment_ocp(lambda x, u: kite_dynamics(x, u), kite_output,
+                      kite_path, nx=3, nu=1, ny=2)
+    x0 = [0.6, 0.4, 0.0, 0.0, 0.05]
+    kw = dict(ul=[-5.0, -10.0], uu=[5.0, 10.0],
+              xl=[0.0, -np.pi / 2, -np.pi, -100.0, -100.0],
+              xu=[np.pi / 2, np.pi / 2, np.pi, 100.0, 100.0])
+    dtr = dist_transcribe(ocp, Chebyshev(5), S, 0.0, 2.0)
+    bounds = dist_bounds(dtr, x0=x0, **kw)
+    W0, P0 = dtr.rollout_guess(jnp.asarray(x0, jnp.float32), d=[0.05])
+    settings = DistSQPSettings(max_iter=30, admm_iters=400,
+                               kkt_solver=kkt_solver)
+
+    @jax.jit
+    def solve(W0, P0):
+        return dist_sqp_solve(dtr, bounds, W0, P0, d=[0.05],
+                              settings=settings, mesh=None)
+
+    out = solve(W0, P0)
+    jax.block_until_ready(out["W"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solve(W0, P0)
+        jax.block_until_ready(out["W"])
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "mode": "dist_point", "segments": S, "kkt_solver": kkt_solver,
+        "wall_ms_per_solve": round(dt * 1e3, 2),
+        "status": int(out["status"]), "iters": int(out["iters"]),
+        "solved": bool(int(out["status"]) == st.SOLVED),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--segments", type=int, nargs="+",
                     default=[2, 4, 8, 16])
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--micro", action="store_true",
+                    help="also run the measured epoch-kernel microbench")
+    ap.add_argument("--dist", action="store_true",
+                    help="also run the dist-SQP lu-vs-pallas point (S=8)")
     args = ap.parse_args()
 
     rows = []
@@ -149,6 +294,18 @@ def main():
         B = max(128, 1024 // S)
         for backend in ("dense", "bbt"):
             r = run_point(S, backend, B, args.reps)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+    if args.micro:
+        for S in args.segments:
+            B = max(128, 1024 // S)
+            for backend in ("dense", "bbt"):
+                r = run_kernel_micro(S, backend, B)
+                rows.append(r)
+                print(json.dumps(r), flush=True)
+    if args.dist:
+        for solver in ("lu", "pallas"):
+            r = run_dist_point(8, solver)
             rows.append(r)
             print(json.dumps(r), flush=True)
 

@@ -171,12 +171,13 @@ def _newton_kkt_solve(M, r, ir: int = 2):
 @functools.partial(jax.jit,
                    static_argnames=("nlp", "iters", "act_tol", "solve_dtype",
                                     "matrix_dtype", "return_residual",
-                                    "kkt_solver", "solve_ir"))
+                                    "kkt_solver", "solve_ir", "return_last"))
 def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
                     iters: int = 2, act_tol: float = 1e-3,
                     solve_dtype=None, matrix_dtype=None,
                     return_residual: bool = False,
-                    kkt_solver: str = "ldlt", solve_ir: int = 2):
+                    kkt_solver: str = "ldlt", solve_ir: int = 2,
+                    return_last: bool = False):
     """Newton-KKT refinement in fp64 from an fp32 (or loose fp64) solution.
 
     ``solve_dtype`` controls the precision of the inner linear solve only:
@@ -358,8 +359,16 @@ def refine_solution(nlp: NLP, z, lam, lam_box, bounds: NLPBounds, p=None,
 
     start = (z, lam, lam_box, g0, c0, J0)
     r0 = residual_of(start)
-    (_, best, best_r), _ = jax.lax.scan(
+    (last, best, best_r), _ = jax.lax.scan(
         step, (start, (z, lam, lam_box), r0), None, length=iters)
+    out = best
     if return_residual:
-        return best + (best_r,)
-    return best
+        out = out + (best_r,)
+    if return_last:
+        # the LAST Newton iterate (not the best-by-residual point): lets a
+        # caller that splits refinement into stages (adaptive tail sweeps,
+        # bench.py) continue the non-monotone Newton path instead of
+        # restarting from a pinned best point — restarting was measured to
+        # freeze 3/512 kite tail lanes that the continuous path certifies
+        out = out + last[:3]
+    return out

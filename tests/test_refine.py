@@ -150,3 +150,26 @@ def test_mixed_precision_refinement_f32_solver():
         solve_dtype=jnp.float32)
     r = kkt_residual(tr.nlp, z, lam, lam_box, bounds64, prm64)
     assert float(r.max) <= 1e-6, float(r.max)
+
+
+def test_return_last_continuation_matches_single_run():
+    """Two-stage refinement (iters=2 then continue 2 more from the LAST
+    iterate via return_last) must land on the same Newton path as one
+    4-iteration run — the adaptive tail-sweep contract bench.py relies on."""
+    tr, mk = _setup_robot()
+    prm, bounds, z0 = mk(jnp.float64)
+    sol = sqp_solve(tr.nlp, z0, p=prm, bounds=bounds,
+                    settings=TPU_SETTINGS)
+    one = refine_solution(tr.nlp, sol.x, sol.lam, sol.lam_box, bounds, prm,
+                          iters=4, return_residual=True)
+    st1 = refine_solution(tr.nlp, sol.x, sol.lam, sol.lam_box, bounds, prm,
+                          iters=2, return_residual=True, return_last=True)
+    z1, lam1, lamb1, r1, zl, laml, lambl = st1
+    st2 = refine_solution(tr.nlp, zl, laml, lambl, bounds, prm,
+                          iters=2, return_residual=True)
+    r_final = float(jnp.minimum(r1, st2[3]))
+    # same certified class; the two paths agree to fp64 Newton noise
+    assert r_final <= 1e-6
+    assert float(one[3]) <= 1e-6
+    np.testing.assert_allclose(np.asarray(st2[0]), np.asarray(one[0]),
+                               atol=1e-7)
