@@ -259,19 +259,31 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=512, reps=50):
             lambda a: a.astype(jnp.float64), bounds)
         sx64 = jnp.asarray(tr.x_scale, jnp.float64)
 
+        def one(x0, z, lam, lam_box, **kw):
+            x0s_ = jnp.asarray(x0, jnp.float64) / sx64
+            b = bounds64._replace(
+                lbx=bounds64.lbx.at[:nx].set(x0s_),
+                ubx=bounds64.ubx.at[:nx].set(x0s_))
+            return refine_solution(tr.nlp, z, lam, lam_box, b, prm64,
+                                   solve_dtype=jnp.float32,
+                                   matrix_dtype=jnp.float32,
+                                   return_residual=True, **kw)[3]
+
+        # adaptive two-stage refinement (same scheme as bench.py): 3
+        # unconditional Newton-KKT iterations, then the 64 worst-residual
+        # lanes RESTART from the fp32 point with the tail recipe —
+        # act_tol=1e-4 (the default 1e-3 pins act_tol-marginal constraints
+        # into the wrong active set and stalls the Newton contraction on a
+        # few lanes; diagnosed r5) + more iterations and IR sweeps
         @jax.jit
         def certify(x0s, sols_x, sols_lam, sols_lam_box):
-            def one(x0, z, lam, lam_box):
-                x0s_ = jnp.asarray(x0, jnp.float64) / sx64
-                b = bounds64._replace(
-                    lbx=bounds64.lbx.at[:nx].set(x0s_),
-                    ubx=bounds64.ubx.at[:nx].set(x0s_))
-                out = refine_solution(tr.nlp, z, lam, lam_box, b, prm64,
-                                      iters=8, solve_dtype=jnp.float32,
-                                      matrix_dtype=jnp.float32,
-                                      return_residual=True)
-                return out[3]
-            return jax.vmap(one)(x0s, sols_x, sols_lam, sols_lam_box)
+            r1 = jax.vmap(lambda a, b, c, d: one(a, b, c, d, iters=3))(
+                x0s, sols_x, sols_lam, sols_lam_box)
+            _, idx = jax.lax.top_k(r1, 64)
+            r2 = jax.vmap(lambda a, b, c, d: one(
+                a, b, c, d, iters=10, act_tol=1e-4, solve_ir=6))(
+                x0s[idx], sols_x[idx], sols_lam[idx], sols_lam_box[idx])
+            return r1.at[idx].set(jnp.minimum(r1[idx], r2))
 
     # batched throughput: a fleet of cars at jittered states, warm-started
     rng = np.random.default_rng(3)
