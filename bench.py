@@ -67,9 +67,12 @@ def main():
     #     ~125x faster than the vmapped LU epoch;
     #   3 epochs x 50 iterations: fewest factorisations that keep the inner
     #     QP at 1e-4 (sweep: 8x25=301/s, 4x50=404/s, 3x50=486/s per chip);
-    #   max_iter=12: the vmapped while_loop runs to the slowest instance —
-    #     mean is 6 iterations, and capping the straggler tail at 12 keeps
-    #     99%+ convergence while cutting batch wall time ~15%;
+    #   max_iter=9: the vmapped while_loop runs to the slowest instance —
+    #     mean is ~6 iterations; r5 sweep (max_iter 8..12 with the adaptive
+    #     certify): truncating the straggler tail at 9 keeps the certified
+    #     count (the fp64 refinement recovers the truncated lanes: only 445
+    #     lanes satisfy the fp32 stopping test but 509 certify at 1e-6)
+    #     while cutting batch wall ~15% vs 12;
     #   polish=False: the OSQP-style active-set polish (LU + sort per inner
     #     QP solve) cost 80% of the solve in traces and the warm-started SQP
     #     converges identically without it (3x speedup measured).
@@ -78,7 +81,7 @@ def main():
     #     lane-batched epoch kernel (measured: 0.262 -> 0.223 s/batch and
     #     +2 converged instances at B=512)
     settings = SQPSettings(
-        hessian="exact", max_iter=12, reg="mirror",
+        hessian="exact", max_iter=9, reg="mirror",
         eps_prim=1e-3, eps_dual=1e-3, eps_viol=1e-3, eps_stat=1e-2,
         qp=ADMMSettings(rho=1.0, eps_abs=1e-4, eps_rel=1e-4,
                         max_epochs=3, check_every=50, equil_iters=0,
@@ -115,51 +118,55 @@ def main():
         bounds64 = jax.tree_util.tree_map(
             lambda a: a.astype(jnp.float64), bounds)
 
-        # adaptive fp64 refinement (r5): 2 unconditional Newton-KKT
-        # iterations for every lane, then 2 more for only the TAIL_K
-        # worst-residual lanes (gather -> refine -> scatter).  ~96% of lanes
-        # certify within 2 iterations, so the r4 scheme's 2 extra
-        # unconditional sweeps (bench r4: -4.9% throughput for +25 lanes)
-        # shrink to a TAIL_K/B-sized sub-batch; the tail lanes still get the
-        # full 4 iterations, so the certified count is preserved
-        TAIL_K = 64
+        # adaptive three-stage fp64 refinement (r5): 2 unconditional
+        # Newton-KKT iterations for every lane; 2 more for the 64
+        # worst-residual lanes (continuing the non-monotone Newton path
+        # from the LAST iterate via return_last); then a heavy restart for
+        # the 16 still-worst lanes — iters=10, act_tol=1e-4, solve_ir=6,
+        # from the original fp32 point.  The act_tol=1e-4 restart is the
+        # r5-diagnosed fix for lanes whose default-1e-3 active-set
+        # classification pins an act_tol-marginal constraint to the wrong
+        # bound and stalls the Newton contraction at 1e-6..1e-5 (6 of the 8
+        # never-certifying r4 lanes certify under it; the 2 remaining lanes
+        # carry a genuinely non-stationary fp32 point, stat ~1e-2).
+        # Costs: stage 1 dominates (B lanes); stages 2+3 together are ~1/4
+        # of one unconditional sweep, vs the r4 scheme's 2 extra
+        # unconditional sweeps (-4.9% throughput for the same count)
 
         @jax.jit
         def certify(x0s, sols_x, sols_lam, sols_lam_box):
             nx = tr.ocp.nx
             sx64 = jnp.asarray(tr.x_scale, jnp.float64)
 
-            def one(x0, z, lam, lam_box):
+            def one(x0, z, lam, lam_box, **kw):
                 x0s_ = jnp.asarray(x0, jnp.float64) / sx64
                 b = bounds64._replace(lbx=bounds64.lbx.at[:nx].set(x0s_),
                                       ubx=bounds64.ubx.at[:nx].set(x0s_))
-                # fp32 Pallas-LDLT inner solves (+2 fp32 IR sweeps against
+                # fp32 Pallas-LDLT inner solves (+fp32 IR sweeps against
                 # the factor) + fp64 residuals = mixed-precision iterative
                 # refinement; matrix_dtype=f32 evaluates the Lagrangian
                 # Hessian in fp32 (it only preconditions the step); the
                 # certified residual rides back with the solution
                 # (return_residual) so certification costs no extra fp64
-                # Jacobian evaluation; return_last hands back the raw final
-                # Newton iterate so the tail sweep continues the
-                # (non-monotone) Newton path instead of restarting from the
-                # pinned best point
-                return refine_solution(tr.nlp, z, lam, lam_box, b,
-                                       prm64, iters=2,
+                # Jacobian evaluation
+                return refine_solution(tr.nlp, z, lam, lam_box, b, prm64,
                                        solve_dtype=jnp.float32,
                                        matrix_dtype=jnp.float32,
-                                       return_residual=True,
-                                       return_last=True)
+                                       return_residual=True, **kw)
 
-            _, _, _, r1, zl, laml, lambl = jax.vmap(one)(
+            o = jax.vmap(lambda a, b, c, d: one(a, b, c, d, iters=2,
+                                                return_last=True))(
                 x0s, sols_x, sols_lam, sols_lam_box)
-            # gather the TAIL_K worst lanes and give them 2 more iterations
-            # from their LAST iterate (continuing the Newton path);
-            # already-certified gathered lanes can only improve (the tail
-            # sweep's returned residual is best-of-input-and-iterates)
-            _, idx = jax.lax.top_k(r1, TAIL_K)
-            _, _, _, r2, _, _, _ = jax.vmap(one)(
-                x0s[idx], zl[idx], laml[idx], lambl[idx])
-            return r1.at[idx].set(jnp.minimum(r1[idx], r2))
+            r1, zl, laml, lambl = o[3], o[4], o[5], o[6]
+            _, i2 = jax.lax.top_k(r1, 64)
+            o2 = jax.vmap(lambda a, b, c, d: one(a, b, c, d, iters=2))(
+                x0s[i2], zl[i2], laml[i2], lambl[i2])
+            r = r1.at[i2].set(jnp.minimum(r1[i2], o2[3]))
+            _, i3 = jax.lax.top_k(r, 16)
+            o3 = jax.vmap(lambda a, b, c, d: one(
+                a, b, c, d, iters=10, act_tol=1e-4, solve_ir=6))(
+                x0s[i3], sols_x[i3], sols_lam[i3], sols_lam_box[i3])
+            return r.at[i3].set(jnp.minimum(r[i3], o3[3]))
 
     # warmup / compile
     z0s = rollout(x0s)
@@ -168,15 +175,20 @@ def main():
         kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
     jax.block_until_ready(kkt)
 
+    # median of per-rep walls: robust to one-off dispatch hiccups over the
+    # remote-TPU tunnel (observed once: a rep's block_until_ready returned
+    # early and the mean reported an impossible 0.001 s/batch)
     reps = 5
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         z0s = rollout(x0s)
         sols = solve(x0s, z0s)
         with jax.enable_x64():
             kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
         jax.block_until_ready(kkt)
-    dt = (time.perf_counter() - t0) / reps
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
 
     kkt_np = np.asarray(kkt)
     # the delivered-solution criterion is the certificate itself: the fp64
