@@ -88,7 +88,11 @@ def main():
                         kkt_solver="pallas", structure=tr.bbt_structure(),
                         polish=False))
 
-    solve = make_batch_solver(tr, bounds, prm, settings)
+    # rollout_guess=True fuses the dynamics-rollout initial guess into the
+    # solve program: 2 dispatches per batch (solve, certify) instead of 3 —
+    # each dispatch costs ~27 ms on this remote-tunnel backend once a
+    # solver executable is live (r5 measurement)
+    solve = make_batch_solver(tr, bounds, prm, settings, rollout_guess=True)
 
     rng = np.random.default_rng(0)
     s0 = rng.uniform(0.0, 2 * np.pi, B)
@@ -107,8 +111,6 @@ def main():
     lw = jnp.zeros((tr.nlp.m,), dtype)
     jax.block_until_ready(jax.jit(tr.nlp.lag_hessian)(zw, lw, prm))
 
-    # dynamics-rollout initial guess (jitted; part of the timed solve cost)
-    rollout = jax.jit(jax.vmap(lambda x0: tr.rollout_guess(x0, prm)))
 
     # fp64 refinement + certification pass (jitted, vmapped, timed): two
     # Newton-KKT steps from the fp32 solution, then the unscaled KKT
@@ -134,7 +136,7 @@ def main():
         # unconditional sweeps (-4.9% throughput for the same count)
 
         @jax.jit
-        def certify(x0s, sols_x, sols_lam, sols_lam_box):
+        def certify_(x0s, sols_x, sols_lam, sols_lam_box, bounds64, prm64):
             nx = tr.ocp.nx
             sx64 = jnp.asarray(tr.x_scale, jnp.float64)
 
@@ -168,9 +170,12 @@ def main():
                 x0s[i3], sols_x[i3], sols_lam[i3], sols_lam_box[i3])
             return r.at[i3].set(jnp.minimum(r[i3], o3[3]))
 
+        def certify(x0s, sols_x, sols_lam, sols_lam_box):
+            return certify_(x0s, sols_x, sols_lam, sols_lam_box,
+                            bounds64, prm64)
+
     # warmup / compile
-    z0s = rollout(x0s)
-    sols = solve(x0s, z0s)
+    sols = solve(x0s)
     with jax.enable_x64():
         kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
     jax.block_until_ready(kkt)
@@ -182,8 +187,7 @@ def main():
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        z0s = rollout(x0s)
-        sols = solve(x0s, z0s)
+        sols = solve(x0s)
         with jax.enable_x64():
             kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
         jax.block_until_ready(kkt)

@@ -27,7 +27,8 @@ __all__ = ["make_batch_solver", "batch_mesh", "shard_batch"]
 
 
 def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
-                      settings: SQPSettings, mesh: Optional[Mesh] = None):
+                      settings: SQPSettings, mesh: Optional[Mesh] = None,
+                      rollout_guess: bool = False):
     """Build a jitted solver for a batch of initial conditions.
 
     Returns solve(x0s (B,nx), z0s (B,n) | None, lam0s (B,m) | None,
@@ -37,32 +38,48 @@ def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
     warm-started receding-horizon re-solves.
 
     With a mesh, inputs/outputs are sharded over the batch ("dp") axis.
+
+    ``base_bounds`` and ``prm`` cross the jit boundary as *arguments*, not
+    closure captures: a captured jnp array becomes a device-buffer constant
+    baked into the executable, and on the remote-tunnel TPU backend any
+    executable with baked buffer constants pays a ~27 ms per-dispatch
+    penalty for the rest of the process (measured r5; numpy closures and
+    traced arguments are immune).  Argument-passing is also the generally
+    correct layout: the buffers stay device-resident and resharding-aware.
     """
     nx = tr.ocp.nx
 
-    def solve_one(x0, z0, lam0, lam_box0):
+    def solve_one(x0, z0, lam0, lam_box0, base_bounds, prm):
         x0s = x0 / jnp.asarray(tr.x_scale, x0.dtype)
         lbx = base_bounds.lbx.at[:nx].set(x0s)
         ubx = base_bounds.ubx.at[:nx].set(x0s)
         bounds = base_bounds._replace(lbx=lbx, ubx=ubx)
+        if rollout_guess:
+            # dynamics-rollout initial guess fused into the solve program:
+            # one dispatch instead of two (each dispatch costs ~27 ms once
+            # a solver-class executable is live on the remote-tunnel
+            # backend, r5 measurement) and the guess never round-trips HBM
+            z0 = tr.rollout_guess(x0, prm)
         z0 = z0.at[:nx].set(x0s)
         return sqp_solve(tr.nlp, z0, p=prm, bounds=bounds, lam0=lam0,
                          lam_box0=lam_box0, settings=settings)
 
-    vsolve = jax.vmap(solve_one)
+    vsolve = jax.vmap(solve_one, in_axes=(0, 0, 0, 0, None, None))
 
     if mesh is None:
         jitted = jax.jit(vsolve)
     else:
         spec = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
         jitted = jax.jit(vsolve,
-                         in_shardings=(spec, spec, spec, spec),
+                         in_shardings=(spec, spec, spec, spec, repl, repl),
                          out_shardings=NamedSharding(mesh, P("dp")))
 
     def solve(x0s, z0s=None, lam0s=None, lam_box0s=None):
         B = x0s.shape[0]
         if z0s is None:
-            z0s = jnp.tile(tr.initial_guess(dtype=x0s.dtype)[None], (B, 1))
+            z0s = jnp.zeros((B, tr.nlp.n), x0s.dtype) if rollout_guess \
+                else jnp.tile(tr.initial_guess(dtype=x0s.dtype)[None], (B, 1))
         if lam0s is None:
             lam0s = jnp.zeros((B, tr.nlp.m), x0s.dtype)
         if lam_box0s is None:
@@ -73,7 +90,7 @@ def make_batch_solver(tr: Transcription, base_bounds: NLPBounds, prm,
             z0s = jax.device_put(z0s, spec)
             lam0s = jax.device_put(lam0s, spec)
             lam_box0s = jax.device_put(lam_box0s, spec)
-        return jitted(x0s, z0s, lam0s, lam_box0s)
+        return jitted(x0s, z0s, lam0s, lam_box0s, base_bounds, prm)
 
     return solve
 
