@@ -136,24 +136,36 @@ def bench_frame_transform(dtype=jnp.float32, batch=4096, reps=50):
     # program, so the B=1 dispatch rides the host->TPU floor; the dense-SQP
     # formulation (project_on_path) stays the accuracy oracle in
     # tests/test_race_car.py
+    # host-side spline evals in numpy (cubic_spline_eval_np): a single
+    # EAGER jax spline evaluation loads an executable that flips the
+    # remote-tunnel dispatch floor to ~28 ms for the rest of the process
+    from polympc_tpu.basis.splines import cubic_spline_eval_np as _ev
     s_true = 120.0
-    pt = jnp.asarray([float(path.Xc(s_true)), float(path.Yc(s_true))], dtype)
+    pt = jnp.asarray([float(_ev(path.Xc, s_true)),
+                      float(_ev(path.Yc, s_true))], dtype)
     s_prev = jnp.asarray(s_true - 0.8, dtype)
 
-    solve = jax.jit(lambda s0, p: project_on_path_newton(
+    # path crosses the jit boundary as a pytree ARGUMENT: its coefficient
+    # tables stay device-resident buffers instead of baked/hoisted
+    # executable constants, which keeps the process at the ~0.07 ms
+    # dispatch floor (r5 finding, docs/applications.md)
+    solve_ = jax.jit(lambda s0, p, path: project_on_path_newton(
         path, p, s0=s0, dtype=dtype))
+    solve = lambda s0, p: solve_(s0, p, path)
     mean_ms, max_ms, s_sol = _time_latency(solve, (s_prev, pt), reps)
     assert abs(float(s_sol) - s_true) < 1e-2
 
     # batched: one projection per lane (a whole fleet / particle filter)
     rng = np.random.default_rng(2)
     s_b = rng.uniform(5.0, 195.0, batch)
-    pts = jnp.asarray(np.stack([
-        np.asarray([float(path.Xc(si)), float(path.Yc(si))]) for si in s_b
-    ]), dtype)
+    pts = jnp.asarray(np.stack([_ev(path.Xc, s_b), _ev(path.Yc, s_b)],
+                               axis=1), dtype)
     s0s = jnp.asarray(s_b + rng.uniform(-1.0, 1.0, batch), dtype)
-    batched = jax.jit(jax.vmap(
-        lambda s0, p: project_on_path_newton(path, p, s0=s0, dtype=dtype)))
+    batched_ = jax.jit(jax.vmap(
+        lambda s0, p, path: project_on_path_newton(path, p, s0=s0,
+                                                   dtype=dtype),
+        in_axes=(0, 0, None)))
+    batched = lambda s0s, pts: batched_(s0s, pts, path)
     dt, sols = _time_throughput(batched, (s0s, pts))
     err = float(np.max(np.abs(np.asarray(sols) - s_b)))
     solved = int((np.abs(np.asarray(sols) - s_b) < 1e-3).sum())
@@ -290,10 +302,14 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=512, reps=50):
         # act_tol=1e-4 (the default 1e-3 pins act_tol-marginal constraints
         # into the wrong active set and stalls the Newton contraction on a
         # few lanes; diagnosed r5) + more iterations and IR sweeps
+        # stage-1 depth is problem-specific: the race-car KKT (K=165,
+        # Pacejka conditioning) routinely needs 5-6 fp32-LDLT Newton
+        # iterations where the kite needs 2 (measured r5: iters=3 left ~110
+        # lanes above 1e-6 and the 64-lane tail could not cover them)
         @jax.jit
         def certify_(x0s, sols_x, sols_lam, sols_lam_box, bounds64, prm64):
             r1 = jax.vmap(lambda a, b, c, d: one(
-                a, b, c, d, bounds64, prm64, iters=3))(
+                a, b, c, d, bounds64, prm64, iters=6))(
                 x0s, sols_x, sols_lam, sols_lam_box)
             _, idx = jax.lax.top_k(r1, 64)
             r2 = jax.vmap(lambda a, b, c, d: one(
@@ -349,24 +365,58 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=512, reps=50):
     }
 
 
+_WORKLOADS = {
+    "frame_transform": bench_frame_transform,
+    "spline_qp": bench_spline_qp,
+    "race_car": bench_race_car_ocp,
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None, help="write results JSON here")
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--workload", default=None, choices=sorted(_WORKLOADS),
+                    help="run ONE workload in-process and print its JSON")
+    ap.add_argument("--no-isolate", action="store_true",
+                    help="run all workloads in this process (legacy)")
     args = ap.parse_args()
+
+    if args.workload:
+        r = _WORKLOADS[args.workload](reps=args.reps)
+        print("WORKLOAD_JSON " + json.dumps(r), flush=True)
+        return
 
     results = {"platform": jax.default_backend(),
                "devices": len(jax.devices()),
                "workloads": []}
-    # frame transform first: its sub-ms B=1 latency is the most sensitive
-    # to the remote-tunnel dispatch floor, which degrades ~27 ms for the
-    # rest of the process once a large solver executable is live (r5
-    # finding, see docs/applications.md) — the spline/race benches load
-    # exactly such executables
-    for fn in (bench_frame_transform, bench_spline_qp, bench_race_car_ocp):
-        r = fn(reps=args.reps)
-        results["workloads"].append(r)
-        print(json.dumps(r), flush=True)
+    if args.no_isolate:
+        for fn in (bench_frame_transform, bench_spline_qp,
+                   bench_race_car_ocp):
+            r = fn(reps=args.reps)
+            results["workloads"].append(r)
+            print(json.dumps(r), flush=True)
+    else:
+        # one subprocess per workload: the remote-tunnel backend's dispatch
+        # floor degrades ~27 ms for the rest of a process once any large
+        # solver executable is live (r5 finding, docs/applications.md), so
+        # each workload's B=1 latency row must be measured in a process
+        # that has loaded nothing bigger than its own latency program
+        import subprocess
+        for name in ("frame_transform", "spline_qp", "race_car"):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--workload", name, "--reps", str(args.reps)]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=3600)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("WORKLOAD_JSON ")]
+            if out.returncode != 0 or not line:
+                print(f"workload {name} FAILED:\n{out.stdout[-2000:]}\n"
+                      f"{out.stderr[-2000:]}", file=sys.stderr)
+                continue
+            r = json.loads(line[-1][len("WORKLOAD_JSON "):])
+            results["workloads"].append(r)
+            print(json.dumps(r), flush=True)
 
     print("\n== headline parity vs reference (PC column) ==")
     for r in results["workloads"]:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,20 @@ class CubicSpline:
 
     def __call__(self, x):
         return cubic_spline_eval(self, x)
+
+
+# pytree registration: ``coeffs`` is the (only) leaf, (x0, h, periodic) are
+# static aux data.  A spline can then cross a jit boundary as an ARGUMENT —
+# important on backends where an executable with large baked constants (the
+# coefficient table would otherwise be inlined/hoisted into the program)
+# pays a per-dispatch penalty (r5 finding, docs/applications.md) — and can
+# carry traced coefficients (e.g. a differentiable track model).
+jax.tree_util.register_pytree_node(
+    CubicSpline,
+    lambda sp: ((sp.coeffs,), (sp.x0, sp.h, sp.periodic)),
+    lambda aux, ch: CubicSpline(x0=aux[0], h=aux[1], coeffs=ch[0],
+                                periodic=aux[2]),
+)
 
 
 def fit_cubic_spline(x0: float, h: float, y: np.ndarray,
@@ -84,6 +99,25 @@ def cubic_spline_eval(spline: CubicSpline, x):
     if spline.periodic:
         rel = jnp.mod(rel, n)
     idx = jnp.clip(jnp.floor(rel).astype(jnp.int32), 0, n - 1)
+    s = (rel - idx) * spline.h
+    ck = c[idx]
+    return ck[..., 0] + s * (ck[..., 1] + s * (ck[..., 2] + s * ck[..., 3]))
+
+
+def cubic_spline_eval_np(spline: CubicSpline, x: np.ndarray) -> np.ndarray:
+    """Pure-numpy spline evaluation for build-time code paths.
+
+    Identical math to :func:`cubic_spline_eval`; exists so construction-time
+    sweeps (e.g. integrating a curvature profile into a centerline) never
+    touch the JAX runtime — on some backends even a single eager vmapped
+    evaluation degrades the process's dispatch floor (r5 finding,
+    docs/applications.md)."""
+    c = np.asarray(spline.coeffs)
+    n = c.shape[0]
+    rel = (np.asarray(x) - spline.x0) / spline.h
+    if spline.periodic:
+        rel = np.mod(rel, n)
+    idx = np.clip(np.floor(rel).astype(int), 0, n - 1)
     s = (rel - idx) * spline.h
     ck = c[idx]
     return ck[..., 0] + s * (ck[..., 1] + s * (ck[..., 2] + s * ck[..., 3]))

@@ -120,15 +120,31 @@ class PathFrame:
         return jnp.stack([self.Xc(s), self.Yc(s)])
 
 
+# pytree: the four splines are children (their coefficient tables are the
+# leaves), s_max is static — a PathFrame can be passed as a jit argument so
+# its tables become device-resident buffers instead of baked executable
+# constants (see basis/splines.py registration note)
+jax.tree_util.register_pytree_node(
+    PathFrame,
+    lambda pf: ((pf.Xc, pf.Yc, pf.psi_c, pf.kappa), (pf.s_max,)),
+    lambda aux, ch: PathFrame(Xc=ch[0], Yc=ch[1], psi_c=ch[2], kappa=ch[3],
+                              s_max=aux[0]),
+)
+
+
 def track_from_curvature(kappa: CubicSpline, s_max: float,
                          n_samples: int = 1001,
                          x0=(0.0, 0.0), psi0: float = 0.0) -> PathFrame:
     """Integrate a curvature profile into a Cartesian centerline:
     psi_c' = kappa(s), X_c' = cos(psi_c), Y_c' = sin(psi_c) (build-time
     numpy quadrature; fine grid + trapezoid)."""
-    from polympc_tpu.basis.splines import fit_cubic_spline
+    from polympc_tpu.basis.splines import fit_cubic_spline, \
+        cubic_spline_eval_np
     s = np.linspace(0.0, s_max, n_samples)
-    kap = np.asarray(jax.vmap(kappa)(jnp.asarray(s)))
+    # build-time sweep in pure numpy: a single eager vmapped jax evaluation
+    # here would load an executable that degrades the process's dispatch
+    # floor on the remote-tunnel backend (r5, docs/applications.md)
+    kap = cubic_spline_eval_np(kappa, s)
     psi = psi0 + np.concatenate([[0.0], np.cumsum(
         0.5 * (kap[1:] + kap[:-1]) * np.diff(s))])
     cx = np.cos(psi)
