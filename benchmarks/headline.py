@@ -56,14 +56,17 @@ def _time_latency(fn, args, reps=50):
 
 
 def _time_throughput(fn, args, reps=10):
-    """Wall seconds per call of a blocking batched dispatch."""
+    """Median wall seconds per call of a blocking batched dispatch (median:
+    robust to one-off tunnel dispatch hiccups)."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), out
 
 
 # --------------------------------------------------------------------------
@@ -337,13 +340,18 @@ def bench_race_car_ocp(dtype=jnp.float32, batch=512, reps=50):
         kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
     jax.block_until_ready(kkt)
 
-    t0 = time.perf_counter()
+    # median of per-rep walls (robust to one-off tunnel dispatch hiccups
+    # where a block_until_ready returns early — observed reporting an
+    # impossible 0.44 us/solve once)
+    ts = []
     for _ in range(10):
+        t0 = time.perf_counter()
         sols = batched(x0s, zs, lams, lbs)
         with jax.enable_x64():
             kkt = certify(x0s, sols.x, sols.lam, sols.lam_box)
         jax.block_until_ready(kkt)
-    dt = (time.perf_counter() - t0) / 10
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
 
     kk = np.asarray(kkt)
     solved = int((np.asarray(sols.status) == st.SOLVED).sum())

@@ -254,8 +254,11 @@ def run_dist_point(S: int, kkt_solver: str, reps: int = 5):
     dtr = dist_transcribe(ocp, Chebyshev(5), S, 0.0, 2.0)
     bounds = dist_bounds(dtr, x0=x0, **kw)
     W0, P0 = dtr.rollout_guess(jnp.asarray(x0, jnp.float32), d=[0.05])
-    settings = DistSQPSettings(max_iter=30, admm_iters=400,
-                               kkt_solver=kkt_solver)
+    # eps_stat=1e-2: the fp32 stationarity tolerance the fused TPU config
+    # uses (bench.py) — the dist default 1e-3 is below fp32 reach and
+    # reports MAX_ITER at an already-good point
+    settings = DistSQPSettings(max_iter=60, admm_iters=400,
+                               eps_stat=1e-2, kkt_solver=kkt_solver)
 
     @jax.jit
     def solve(W0, P0):
@@ -274,6 +277,13 @@ def run_dist_point(S: int, kkt_solver: str, reps: int = 5):
         "wall_ms_per_solve": round(dt * 1e3, 2),
         "status": int(out["status"]), "iters": int(out["iters"]),
         "solved": bool(int(out["status"]) == st.SOLVED),
+        "violation": float(out["violation"]),
+        "primal_step": float(out["primal_step"]),
+        "note": "fp32 single-instance run: the per-iteration cost ratio is "
+                "the lu-vs-pallas datum; the fp32 dist config does not meet "
+                "the relative stationarity test within 60 iterations "
+                "(violation/primal_step recorded) — fp64 parity is "
+                "tests/test_dist_sqp.py",
     }
 
 
@@ -309,19 +319,31 @@ def main():
             rows.append(r)
             print(json.dumps(r), flush=True)
 
+    if args.json:                      # write BEFORE pretty-printing so a
+        with open(args.json, "w") as f:  # print bug can't lose the data
+            json.dump(rows, f, indent=1)
+
     print("\n== horizon scaling (kite NMPF, Chebyshev(5) x S segments) ==")
     for r in rows:
+        tag = r.get("mode", "solve")
         if "skipped" in r:
-            print(f"S={r['segments']:3d} {r['backend']:5s} K={r['K']:5d}  "
-                  f"SKIPPED: {r['skipped']}")
+            print(f"[{tag}] S={r['segments']:3d} "
+                  f"{r.get('backend', r.get('kkt_solver', '')):6s} "
+                  f"K={r['K']:5d}  SKIPPED: {r['skipped']}")
+        elif tag == "kernel_micro":
+            print(f"[micro] S={r['segments']:3d} {r['backend']:6s} "
+                  f"K={r['K']:5d}  {r['measured_us_per_epoch_lane']:8.2f} "
+                  f"us/epoch/lane  {r['hbm_gb_per_s_measured']:6.1f} GB/s")
+        elif tag == "dist_point":
+            print(f"[dist ] S={r['segments']:3d} {r['kkt_solver']:6s} "
+                  f"{r['wall_ms_per_solve']:8.2f} ms/solve  "
+                  f"solved={r['solved']} iters={r['iters']}")
         else:
-            print(f"S={r['segments']:3d} {r['backend']:5s} K={r['K']:5d}  "
+            print(f"[solve] S={r['segments']:3d} {r['backend']:6s} "
+                  f"K={r['K']:5d}  "
                   f"{r['solves_per_s_per_chip']:9.1f} solves/s  "
                   f"wall {r['wall_s_per_batch']:7.3f}s/batch(B={r['batch']})  "
                   f"iters {r['mean_sqp_iters']:5.2f}")
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":
